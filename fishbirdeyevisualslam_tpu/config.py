@@ -1,0 +1,192 @@
+"""Unified typed configuration.
+
+The C++ reference scatters configuration over three tiers (SURVEY.md §5): an OpenCV
+YAML settings file (``Examples/Monocular/fisheye.yaml``), compile-time constants
+(camera↔base extrinsics in ``src/Frame.cc:1015-1047``, IPM scale & vehicle geometry in
+``src/Frame.cc:39-44``, BA weights in ``include/Optimizer.h:65-68``), and five
+file-scope behavior globals (``src/System.cc:30-34``).  Here all of it is one frozen
+dataclass tree so every jitted function can close over static hashable config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Front fisheye camera intrinsics (reference ``Examples/Monocular/fisheye.yaml:8-16``).
+
+    The fisheye follows OpenCV's ``cv::fisheye`` (equidistant, Kannala-Brandt k1..k4)
+    model, which the reference uses for undistortion (``src/Frame.cc:638-669``).
+    """
+
+    fx: float = 348.5
+    fy: float = 347.0
+    cx: float = 480.0
+    cy: float = 302.0
+    # cv::fisheye distortion coefficients (named k1,k2,p1,p2 in the yaml but fed to
+    # cv::fisheye::undistortPoints as k1..k4, src/Frame.cc:657).
+    k1: float = -0.0488316
+    k2: float = 0.000298406
+    k3: float = -0.00591118
+    k4: float = 0.00193258
+    fps: float = 25.0
+    width: int = 950   # 1900x800 crop, 0.5x downsample (mono_encoder.cc:153-158)
+    height: int = 400
+
+
+@dataclasses.dataclass(frozen=True)
+class BirdConfig:
+    """Bird's-eye IPM constants (reference ``src/Frame.cc:39-44``) and image geometry."""
+
+    pixel2meter: float = 0.03984
+    meter2pixel: float = 25.1
+    rear_axle_to_center: float = 1.393
+    vehicle_length: float = 4.63
+    vehicle_width: float = 1.901
+    rows: int = 384
+    cols: int = 384
+    # Ground-plane gating heights (ORBmatcher.cc:1701 |z|>0.2m; filterSize 0.05m
+    # in BirdMapPointMatch, ORBmatcher.cc:1763-1902).
+    plane_gate: float = 0.2
+    filter_size: float = 0.05
+
+
+@dataclasses.dataclass(frozen=True)
+class ExtrinsicsConfig:
+    """Front-camera ↔ base-footprint extrinsics (reference ``src/Frame.cc:1015-1047``).
+
+    Quaternion is (x, y, z, w) exactly as hard-coded there; it is normalized before
+    use.  ``t_bc`` is the camera origin in the base frame.
+    """
+
+    q_bc_xyzw: Tuple[float, float, float, float] = (0.631, -0.623, 0.325, -0.330)
+    t_bc: Tuple[float, float, float] = (3.747, 0.040, 0.736)
+
+
+@dataclasses.dataclass(frozen=True)
+class OrbConfig:
+    """ORB extraction parameters (reference ``fisheye.yaml:29-42``, ``src/Frame.cc:337``)."""
+
+    n_features: int = 2000       # per-view budget (front and bird each)
+    n_features_init: int = 4000  # doubled during initialization (Tracking.cc:127-133)
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: int = 15        # (0..255 absolute intensity threshold)
+    min_th_fast: int = 5
+    patch_size: int = 31
+    half_patch: int = 15
+    edge_threshold: int = 19
+    grid_cell: int = 32          # cell size for per-cell top-k selection (quadtree analog)
+
+    def scale_factors(self) -> Tuple[float, ...]:
+        return tuple(self.scale_factor ** i for i in range(self.n_levels))
+
+    def inv_level_sigma2(self) -> Tuple[float, ...]:
+        # mvInvLevelSigma2 in the reference: 1 / scale^2 per octave.
+        return tuple(1.0 / (self.scale_factor ** (2 * i)) for i in range(self.n_levels))
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """Descriptor-matching thresholds (reference ``src/ORBmatcher.cc:38-40``)."""
+
+    th_high: int = 100
+    th_low: int = 50
+    histo_length: int = 30
+    nn_ratio_tracking: float = 0.9
+    nn_ratio_reloc: float = 0.75
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    """Bundle-adjustment weights and schedules.
+
+    Defaults wF=1, wB=1, wP=3 from ``include/Optimizer.h:65-68``; odometry chain edge
+    information 1e4*wP / skip-1 2e3 / skip-2 1e3*wP from ``src/Optimizer.cc:2419-2495``;
+    chi2 gates from ``src/Optimizer.cc:611-612`` (front 1.5 in pose opt, bird 5.991)
+    and 5.991 in BA; pose-opt schedule 4 rounds x 10 iters (``Optimizer.cc:613``),
+    local BA 5 + 10 iters (``Optimizer.cc:2511-2572``).
+    """
+
+    w_front: float = 1.0
+    w_bird: float = 1.0
+    w_pose: float = 3.0
+    odom_info_chain: float = 1.0e4
+    odom_info_skip1: float = 2.0e3
+    odom_info_skip2: float = 1.0e3
+    chi2_mono_pose: float = 1.5
+    chi2_mono_ba: float = 5.991
+    chi2_bird: float = 5.991
+    huber_delta: float = math.sqrt(5.991)
+    pose_rounds: int = 4
+    pose_iters: int = 10
+    local_ba_iters_1: int = 5
+    local_ba_iters_2: int = 10
+    global_ba_iters: int = 20
+    essential_graph_min_feat: int = 100
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackingConfig:
+    """Tracking policy constants (reference ``src/Tracking.cc``)."""
+
+    min_init_matches: int = 100       # SearchForInitialization gate (Tracking.cc:864)
+    min_track_matches: int = 20       # motion-model match gate
+    min_inliers_ok: int = 30          # TrackLocalMap success (relaxed 10 after reloc)
+    max_local_keyframes: int = 80     # local map KF cap (Tracking.cc:2175)
+    bird_window_meters: float = 5.0   # bird sliding window (Tracking.cc:2644-2721)
+    min_kfs_for_reset: int = 5        # full reset if lost early (Tracking.cc:731-740)
+    min_frames_between_kf: int = 0
+    max_frames_between_kf: int = 25   # = fps
+
+
+@dataclasses.dataclass(frozen=True)
+class CapacityConfig:
+    """Fixed array capacities for the struct-of-arrays map state.
+
+    Dynamic structures in the reference (STL containers + pointer graphs) become
+    capacity-padded arrays with validity masks (SURVEY.md §7 design stance).
+    """
+
+    max_keyframes: int = 256
+    max_points: int = 16384
+    max_bird_points: int = 4096
+    max_obs_per_point: int = 16
+    max_front_kp: int = 2048          # per-frame front keypoints (pad of n_features)
+    max_bird_kp: int = 2048
+    max_local_kfs: int = 32           # local BA window
+    max_local_points: int = 4096
+
+
+@dataclasses.dataclass(frozen=True)
+class FlagsConfig:
+    """The five behavior globals compiled into the reference (``src/System.cc:30-34``)."""
+
+    tight_couple: bool = True    # odometry SE3 edges in local BA
+    tight_couple2: bool = True   # + skip-1 / skip-2 odometry edges
+    loose_couple: bool = True    # odometry motion prior + init scale
+    fix_scale: bool = True       # loop closing optimizes SE3, not Sim3
+    have_bird: bool = True       # entire bird's-eye pipeline
+
+
+@dataclasses.dataclass(frozen=True)
+class SystemConfig:
+    camera: CameraConfig = CameraConfig()
+    bird: BirdConfig = BirdConfig()
+    extrinsics: ExtrinsicsConfig = ExtrinsicsConfig()
+    orb: OrbConfig = OrbConfig()
+    matcher: MatcherConfig = MatcherConfig()
+    ba: BAConfig = BAConfig()
+    tracking: TrackingConfig = TrackingConfig()
+    capacity: CapacityConfig = CapacityConfig()
+    flags: FlagsConfig = FlagsConfig()
+
+    def replace(self, **kw) -> "SystemConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = SystemConfig()
