@@ -1,0 +1,136 @@
+"""Full ORB feature extraction pipeline: pyramid -> FAST -> grid-uniform top-k
+selection -> orientation -> rBRIEF.  Fixed output shapes (padded with a validity
+mask), jit-compatible end to end.
+
+This is the TPU-native re-design of ``ORBextractor::operator()``
+(``ORBextractor.cc:1043-1105``): the quadtree rebalancing
+(``DistributeOctTree``, ``:539``) becomes per-cell top-k selection (same goal —
+spatial uniformity under a global budget — as batched masked argmax instead of a
+pointer tree), and the per-cell two-threshold FAST fallback becomes a score-bonus
+scheme (see ``fast.detect``).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fishbirdeyevisualslam_tpu.config import OrbConfig
+from fishbirdeyevisualslam_tpu.ops import fast as fast_ops
+from fishbirdeyevisualslam_tpu.ops import image as image_ops
+from fishbirdeyevisualslam_tpu.ops import orb as orb_ops
+
+
+class Keypoints(NamedTuple):
+    """Struct-of-arrays keypoint set, fixed capacity N (invalid slots masked)."""
+
+    xy: jnp.ndarray        # (N, 2) float32, level-0 pixel coords (x, y)
+    response: jnp.ndarray  # (N,) float32 FAST ranking score (0 for invalid)
+    angle: jnp.ndarray     # (N,) float32 radians
+    level: jnp.ndarray     # (N,) int32 pyramid octave
+    valid: jnp.ndarray     # (N,) bool
+    desc: jnp.ndarray      # (N, 8) uint32 packed rBRIEF
+    desc_pm1: jnp.ndarray  # (N, 256) bfloat16 +/-1 (MXU matmul operand)
+
+    @property
+    def capacity(self) -> int:
+        return self.xy.shape[0]
+
+
+def _select_grid_topk(score, n_out: int, cell: int, margin: int):
+    """Spatially-uniform selection: per-cell top-k candidates, then global top-n.
+
+    Returns (yx_idx (n_out, 2) int32, scores (n_out,) — 0 where no corner).
+    """
+    h, w = score.shape
+    row = jnp.arange(h)[:, None]
+    col = jnp.arange(w)[None, :]
+    ok = (row >= margin) & (row < h - margin) & (col >= margin) & (col < w - margin)
+    score = jnp.where(ok, score, 0.0)
+
+    ph = (cell - h % cell) % cell
+    pw = (cell - w % cell) % cell
+    s = jnp.pad(score, ((0, ph), (0, pw)))
+    hh, ww = s.shape
+    ncy, ncx = hh // cell, ww // cell
+    cells = s.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3).reshape(ncy * ncx, cell * cell)
+    k_cell = min(4, cell * cell)
+    vals, idx = jax.lax.top_k(cells, k_cell)  # (ncells, k)
+    # reconstruct absolute coords
+    cy = (jnp.arange(ncy * ncx, dtype=jnp.int32) // ncx)[:, None]
+    cx = (jnp.arange(ncy * ncx, dtype=jnp.int32) % ncx)[:, None]
+    iy = cy * cell + (idx // cell).astype(jnp.int32)
+    ix = cx * cell + (idx % cell).astype(jnp.int32)
+    flat_v = vals.reshape(-1)
+    flat_y = iy.reshape(-1)
+    flat_x = ix.reshape(-1)
+    n_cand = flat_v.shape[0]
+    if n_cand < n_out:
+        pad = n_out - n_cand
+        flat_v = jnp.pad(flat_v, (0, pad))
+        flat_y = jnp.pad(flat_y, (0, pad))
+        flat_x = jnp.pad(flat_x, (0, pad))
+    top_v, top_i = jax.lax.top_k(flat_v, n_out)
+    return (
+        jnp.stack([flat_y[top_i], flat_x[top_i]], axis=-1),
+        top_v,
+    )
+
+
+def _extract_level(img_l, blur_l, cfg: OrbConfig, n_l: int, level: int):
+    score = fast_ops.detect(img_l, float(cfg.ini_th_fast), float(cfg.min_th_fast))
+    margin = orb_ops.HALF + 1
+    yx, resp = _select_grid_topk(score, n_l, cfg.grid_cell, margin)
+    valid = resp > 0.0
+
+    pad = orb_ops.HALF
+    img_p = jnp.pad(img_l, ((pad, pad), (pad, pad)), mode="edge")
+    blur_p = jnp.pad(blur_l, ((pad, pad), (pad, pad)), mode="edge")
+
+    def patch(src, y, x):
+        return jax.lax.dynamic_slice(src, (y, x), (orb_ops.PATCH, orb_ops.PATCH))
+
+    patches = jax.vmap(lambda p: patch(img_p, p[0], p[1]))(yx)
+    bpatches = jax.vmap(lambda p: patch(blur_p, p[0], p[1]))(yx)
+    ang = orb_ops.orientations(patches)
+    bits = orb_ops.descriptors(bpatches, ang)
+    packed = orb_ops.pack_bits(bits)
+    pm1 = orb_ops.bits_to_pm1(bits)
+    sc = float(cfg.scale_factor) ** level
+    xy0 = jnp.stack([yx[:, 1].astype(jnp.float32), yx[:, 0].astype(jnp.float32)], axis=-1) * sc
+    lvl = jnp.full((n_l,), level, dtype=jnp.int32)
+    # zero out invalid slots' descriptors so they never match anything real
+    packed = jnp.where(valid[:, None], packed, 0)
+    pm1 = jnp.where(valid[:, None], pm1, jnp.zeros_like(pm1))
+    return Keypoints(xy0, jnp.where(valid, resp, 0.0), ang, lvl, valid, packed, pm1)
+
+
+def _extract_impl(img, cfg: OrbConfig, n_features: int, detection_mask=None) -> Keypoints:
+    """Extract exactly ``n_features`` (padded) ORB keypoints from a grayscale
+    float32 (H, W) image.  ``detection_mask`` (H, W) bool, if given, suppresses
+    detections outside it (the reference applies front masks and the bird-view
+    freespace mask, ``mono_encoder.cc:144-158``, ``Frame.cc:337-339``)."""
+    budgets = image_ops.per_level_budget(n_features, cfg.n_levels, cfg.scale_factor)
+    pyr = image_ops.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
+    parts: List[Keypoints] = []
+    for lvl in range(cfg.n_levels):
+        img_l = pyr[lvl]
+        parts.append(_extract_level(img_l, image_ops.gaussian_blur(img_l), cfg, budgets[lvl], lvl))
+    kp = Keypoints(*[jnp.concatenate([getattr(p, f) for p in parts], axis=0) for f in Keypoints._fields])
+    if detection_mask is not None:
+        # gate keypoints whose level-0 coords fall outside the mask
+        xi = jnp.clip(kp.xy[:, 0].astype(jnp.int32), 0, img.shape[1] - 1)
+        yi = jnp.clip(kp.xy[:, 1].astype(jnp.int32), 0, img.shape[0] - 1)
+        inside = detection_mask[yi, xi]
+        kp = kp._replace(valid=kp.valid & inside,
+                         response=jnp.where(inside, kp.response, 0.0))
+    return kp
+
+
+# The public entry point is jitted (the 8-level eager graph is hundreds of tiny
+# dispatches — a disaster off-compiler; one fixed-shape XLA program otherwise).
+# cfg and n_features are static: one compilation per (image shape, config, budget).
+extract = jax.jit(_extract_impl, static_argnums=(1, 2))

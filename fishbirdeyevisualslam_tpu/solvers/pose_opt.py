@@ -1,0 +1,196 @@
+"""Single-pose Levenberg-Marquardt: the tracking-rate optimizer.
+
+Re-implements ``Optimizer::PoseOptimizationWithBird`` (``src/Optimizer.cc:478-705``)
+and ``Optimizer::BirdOptimization`` (``:708-835``) as one fixed-shape jitted LM:
+
+  * one SE3 vertex; front 2D-reprojection edges (info = invSigma2 * wF) and bird
+    3D-3D edges (info = invSigma2 * wB), Huber delta sqrt(5.991),
+  * 4 rounds x 10 iterations; every round RESTARTS from the input pose with the
+    current inlier set (exactly the reference's ``vSE3->setEstimate(mTcw)`` inside
+    the round loop, ``Optimizer.cc:622``),
+  * after each round, re-gate: front outlier if chi2 > 1.5 * wF, bird outlier if
+    chi2 > 5.991 * wB (``:611-612,645,672``); outliers re-enter if they pass later,
+  * Huber disabled from round 3 on (``setRobustKernel(0)`` at it==2, ``:657,685``).
+
+Everything is masked arrays — no dynamic shapes, jit- and vmap-safe.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fishbirdeyevisualslam_tpu.config import BAConfig, CameraConfig
+from fishbirdeyevisualslam_tpu.geometry import se3
+from fishbirdeyevisualslam_tpu.solvers import residuals as res
+
+
+class FrontObs(NamedTuple):
+    """Padded front-view landmark observations of one frame."""
+
+    Xw: jnp.ndarray          # (N, 3) world points
+    uv: jnp.ndarray          # (N, 2) undistorted keypoint positions
+    inv_sigma2: jnp.ndarray  # (N,) per-octave information scale
+    valid: jnp.ndarray       # (N,) bool
+
+
+class BirdObs(NamedTuple):
+    """Padded bird-view landmark observations (3D-3D in camera frame)."""
+
+    Xw: jnp.ndarray          # (NB, 3) world points
+    Xc: jnp.ndarray          # (NB, 3) measured camera-frame points (from IPM)
+    inv_sigma2: jnp.ndarray  # (NB,)
+    valid: jnp.ndarray       # (NB,) bool
+
+
+class PoseOptResult(NamedTuple):
+    Tcw: jnp.ndarray
+    front_inlier: jnp.ndarray  # (N,) bool
+    bird_inlier: jnp.ndarray   # (NB,) bool
+    n_inliers: jnp.ndarray     # scalar int32: front inliers (reference return value)
+
+
+def _front_terms(cam, Tcw, front: FrontObs, w_front, huber_delta, use_huber, active):
+    e, J, _ = res.front_residuals(cam, Tcw, front.Xw, front.uv)
+    info = front.inv_sigma2 * w_front
+    chi2 = jnp.sum(e * e, axis=-1) * info
+    w = jnp.where(use_huber, res.huber_weights(chi2, huber_delta), 1.0)
+    w = w * info * active
+    H = jnp.einsum("nki,n,nkj->ij", J, w, J)
+    b = jnp.einsum("nki,n,nk->i", J, w, e)
+    return H, -b, chi2  # g2o: H dx = -b with b = J^T W e... see note below
+
+
+def _bird_terms(Tcw, bird: BirdObs, w_bird, huber_delta, use_huber, active):
+    e, J, _ = res.bird_residuals(Tcw, bird.Xw, bird.Xc)
+    info = bird.inv_sigma2 * w_bird
+    chi2 = jnp.sum(e * e, axis=-1) * info
+    w = jnp.where(use_huber, res.huber_weights(chi2, huber_delta), 1.0)
+    w = w * info * active
+    H = jnp.einsum("nki,n,nkj->ij", J, w, J)
+    b = jnp.einsum("nki,n,nk->i", J, w, e)
+    return H, -b, chi2
+
+
+def _lm_rounds_body(cam, ba, front, bird, use_huber):
+    def build(Tcw, f_act, b_act):
+        Hf, bf, chi2f = _front_terms(cam, Tcw, front, ba.w_front, ba.huber_delta, use_huber, f_act)
+        Hb, bb, chi2b = _bird_terms(Tcw, bird, ba.w_bird, ba.huber_delta, use_huber, b_act)
+        return Hf + Hb, bf + bb, chi2f, chi2b
+
+    return build
+
+
+def _weighted_chi2_sum(chi2f, chi2b, f_act, b_act, huber_delta, use_huber):
+    # LM acceptance uses the robustified total error like g2o's chi2 with kernels
+    def rho(c):
+        d2 = huber_delta**2
+        return jnp.where(use_huber & (c > d2), 2.0 * huber_delta * jnp.sqrt(jnp.maximum(c, 0)) - d2, c)
+
+    return jnp.sum(rho(chi2f) * f_act) + jnp.sum(rho(chi2b) * b_act)
+
+
+def pose_optimization(
+    cam: CameraConfig,
+    ba: BAConfig,
+    Tcw0,
+    front: FrontObs,
+    bird: BirdObs,
+) -> PoseOptResult:
+    """4x10 LM with chi2 re-gating.  See module docstring for the exact mapping
+    to ``Optimizer.cc:478-705``."""
+    f_in = front.valid
+    b_in = bird.valid
+
+    def one_round(Tcw_init, f_in, b_in, use_huber):
+        build = _lm_rounds_body(cam, ba, front, bird, use_huber)
+        f_act = f_in.astype(jnp.float32)
+        b_act = b_in.astype(jnp.float32)
+
+        def total_err(T):
+            _, _, c2f, c2b = build(T, f_act, b_act)
+            return _weighted_chi2_sum(c2f, c2b, f_act, b_act, ba.huber_delta, use_huber)
+
+        def lm_step(carry, _):
+            T, lam, err = carry
+            H, g, _, _ = build(T, f_act, b_act)
+            Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(6)
+            dx = jnp.linalg.solve(Hd, g)
+            T_new = se3.retract(T, dx)
+            err_new = total_err(T_new)
+            accept = (err_new < err) & jnp.all(jnp.isfinite(dx))
+            T = jnp.where(accept, T_new, T)
+            err = jnp.where(accept, err_new, err)
+            lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+            lam = jnp.clip(lam, 1e-10, 1e6)
+            return (T, lam, err), None
+
+        (T, _, _), _ = jax.lax.scan(
+            lm_step, (Tcw_init, jnp.float32(1e-4), total_err(Tcw_init)), None,
+            length=ba.pose_iters,
+        )
+        # re-gate outliers at the optimized pose (no Huber in the gate, raw chi2)
+        _, _, chi2f, chi2b = build(T, jnp.ones_like(f_act), jnp.ones_like(b_act))
+        f_new = front.valid & (chi2f <= ba.chi2_mono_pose * (ba.w_front + 1e-9))
+        b_new = bird.valid & (chi2b <= ba.chi2_bird * (ba.w_bird + 1e-9))
+        return T, f_new, b_new
+
+    T = Tcw0
+    for it in range(ba.pose_rounds):
+        use_huber = it < 3  # reference drops the robust kernel after round idx 2
+        # each round restarts from the ORIGINAL pose with the refined inlier set,
+        # faithfully to Optimizer.cc:622 — but we keep the final T of the last round
+        T, f_in, b_in = one_round(Tcw0 if it < ba.pose_rounds - 1 else T, f_in, b_in, use_huber)
+
+    n_enough = jnp.sum(front.valid.astype(jnp.int32)) >= 3
+    T = jnp.where(n_enough, T, Tcw0)
+    return PoseOptResult(T, f_in, b_in, jnp.sum(f_in.astype(jnp.int32)))
+
+
+def bird_only_optimization(ba: BAConfig, Tcw0, bird: BirdObs) -> PoseOptResult:
+    """``Optimizer::BirdOptimization`` (``src/Optimizer.cc:708-835``): bird edges
+    only, used by ``TrackUsingBird`` while the front view is lost."""
+    b_in = bird.valid
+
+    def one_round(Tcw_init, b_in, use_huber):
+        b_act = b_in.astype(jnp.float32)
+
+        def terms(T, act):
+            return _bird_terms(T, bird, ba.w_bird, ba.huber_delta, use_huber, act)
+
+        def total_err(T):
+            _, _, c2 = terms(T, b_act)
+            return _weighted_chi2_sum(
+                jnp.zeros(()), c2, jnp.zeros(()), b_act, ba.huber_delta, use_huber
+            )
+
+        def lm_step(carry, _):
+            T, lam, err = carry
+            H, g, _ = terms(T, b_act)
+            Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(6)
+            dx = jnp.linalg.solve(Hd, g)
+            T_new = se3.retract(T, dx)
+            err_new = total_err(T_new)
+            accept = (err_new < err) & jnp.all(jnp.isfinite(dx))
+            return (
+                jnp.where(accept, T_new, T),
+                jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e6),
+                jnp.where(accept, err_new, err),
+            ), None
+
+        (T, _, _), _ = jax.lax.scan(
+            lm_step, (Tcw_init, jnp.float32(1e-4), total_err(Tcw_init)), None,
+            length=ba.pose_iters,
+        )
+        _, _, chi2 = terms(T, jnp.ones_like(b_act))
+        return T, bird.valid & (chi2 <= ba.chi2_bird * (ba.w_bird + 1e-9))
+
+    T = Tcw0
+    for it in range(ba.pose_rounds):
+        T, b_in = one_round(Tcw0 if it < ba.pose_rounds - 1 else T, b_in, it < 3)
+
+    n_enough = jnp.sum(bird.valid.astype(jnp.int32)) >= 3
+    T = jnp.where(n_enough, T, Tcw0)
+    return PoseOptResult(T, jnp.zeros((0,), bool), b_in, jnp.sum(b_in.astype(jnp.int32)))

@@ -1,0 +1,220 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import dataclasses
+
+from fishbirdeyevisualslam_tpu.config import DEFAULT_CONFIG
+from fishbirdeyevisualslam_tpu.ops import fast, image, orb, features, matcher
+
+# 4-level config keeps CPU compile times sane in tests (full 8-level path is
+# exercised by the integration test / bench)
+ORB4 = dataclasses.replace(DEFAULT_CONFIG.orb, n_levels=4)
+
+
+def checkerboard(h=120, w=160, sq=12):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (((yy // sq) + (xx // sq)) % 2 * 200.0 + 20.0).astype(np.float32)
+
+
+def textured(h=160, w=160, seed=0):
+    rng = np.random.RandomState(seed)
+    img = rng.rand(h // 8, w // 8) * 255
+    img = np.kron(img, np.ones((8, 8)))
+    img += rng.rand(h, w) * 10
+    return img.astype(np.float32)
+
+
+class TestFast:
+    def test_corner_on_isolated_square(self):
+        # an isolated bright square has L-corners: contiguous dark arc ~12 of 16
+        # (note a perfect checkerboard X-junction does NOT trigger FAST-9: max arc 8)
+        img = np.full((60, 60), 20.0, np.float32)
+        img[20:40, 20:40] = 220.0
+        score, corner = fast.fast_score_map(jnp.asarray(img), 15.0)
+        c = np.asarray(corner)
+        assert c.sum() > 0
+        ys, xs = np.nonzero(c)
+        # detections cluster around the 4 square corners
+        for y, x in zip(ys, xs):
+            assert min(abs(y - 20), abs(y - 39)) <= 3 and min(abs(x - 20), abs(x - 39)) <= 3
+        # no detections in flat regions
+        flat = jnp.full((64, 64), 100.0)
+        _, c2 = fast.fast_score_map(flat, 15.0)
+        assert np.asarray(c2).sum() == 0
+
+    def test_matches_numpy_oracle(self):
+        # brute-force FAST-9 oracle on a small random image
+        rng = np.random.RandomState(1)
+        img = (rng.rand(40, 40) * 255).astype(np.float32)
+        t = 20.0
+        score, corner = fast.fast_score_map(jnp.asarray(img), t)
+        got = np.asarray(corner)
+        circ = fast.CIRCLE
+        for y in range(3, 37):
+            for x in range(3, 37):
+                d = np.array([img[y + dy, x + dx] for dy, dx in circ]) - img[y, x]
+                bright = d > t
+                dark = d < -t
+                def runlen(m):
+                    m2 = np.concatenate([m, m])
+                    best = cur = 0
+                    for v in m2:
+                        cur = cur + 1 if v else 0
+                        best = max(best, cur)
+                    return min(best, 16)
+                expect = runlen(bright) >= 9 or runlen(dark) >= 9
+                assert got[y, x] == expect, (y, x)
+
+    def test_nms(self):
+        s = jnp.zeros((20, 20)).at[5, 5].set(10.0).at[5, 6].set(8.0)
+        out = np.asarray(fast.nms3x3(s))
+        assert out[5, 5] == 10.0 and out[5, 6] == 0.0
+
+
+class TestOrb:
+    def test_orientation_gradient(self):
+        # horizontal ramp -> centroid along +x -> angle ~ 0
+        ramp = jnp.broadcast_to(jnp.arange(31, dtype=jnp.float32)[None, :], (31, 31))
+        a = float(orb.orientations(ramp[None])[0])
+        assert abs(a) < 0.1
+        # vertical ramp -> angle ~ pi/2
+        a2 = float(orb.orientations(ramp.T[None])[0])
+        assert abs(a2 - np.pi / 2) < 0.1
+
+    def test_descriptor_rotation_invariance(self):
+        # rotating patch AND angle by 90deg should preserve most descriptor bits
+        rng = np.random.RandomState(3)
+        patch = np.kron(rng.rand(8, 8) * 255, np.ones((4, 4)))[:31, :31].astype(np.float32)
+        patch = jnp.asarray(patch)
+        b0 = orb.descriptors(patch[None], jnp.array([0.0]))
+        b90 = orb.descriptors(jnp.rot90(patch, k=-1)[None], jnp.array([jnp.pi / 2]))
+        agree = float((b0 == b90).mean())
+        assert agree > 0.8, agree
+
+    def test_pack_unpack_roundtrip(self):
+        rng = np.random.RandomState(4)
+        bits = jnp.asarray(rng.randint(0, 2, (5, 256)).astype(np.uint8))
+        packed = orb.pack_bits(bits)
+        assert packed.dtype == jnp.uint32 and packed.shape == (5, 8)
+        np.testing.assert_array_equal(np.asarray(orb.unpack_bits(packed)), np.asarray(bits))
+
+    def test_hamming_via_matmul(self):
+        rng = np.random.RandomState(5)
+        a = rng.randint(0, 2, (6, 256)).astype(np.uint8)
+        b = rng.randint(0, 2, (7, 256)).astype(np.uint8)
+        D = np.asarray(orb.hamming_matrix(orb.bits_to_pm1(jnp.asarray(a)), orb.bits_to_pm1(jnp.asarray(b))))
+        expect = (a[:, None, :] != b[None, :, :]).sum(-1)
+        np.testing.assert_array_equal(D, expect)
+
+
+class TestFeatures:
+    def test_extract_shapes_and_validity(self):
+        img = jnp.asarray(textured(160, 200))
+        kp = features.extract(img, ORB4, 300)
+        assert kp.xy.shape == (300, 2)
+        assert kp.desc.shape == (300, 8)
+        n_valid = int(kp.valid.sum())
+        assert n_valid > 100, n_valid
+        xy = np.asarray(kp.xy)[np.asarray(kp.valid)]
+        assert (xy[:, 0] >= 0).all() and (xy[:, 0] < 200).all()
+        assert (xy[:, 1] >= 0).all() and (xy[:, 1] < 160).all()
+
+    def test_extract_jits(self):
+        img = jnp.asarray(textured(96, 128))
+        f = lambda im: features.extract(im, ORB4, 100)
+        k1 = f(img)
+        k2 = f(img + 1.0)  # second call same shape, different values
+        assert k1.xy.shape == k2.xy.shape
+
+    def test_detection_mask(self):
+        img = jnp.asarray(textured(120, 160, seed=7))
+        mask = jnp.zeros((120, 160), bool).at[:, :80].set(True)
+        kp = features.extract(img, ORB4, 200, detection_mask=mask)
+        xy = np.asarray(kp.xy)[np.asarray(kp.valid)]
+        assert (xy[:, 0] < 80).all()
+
+    def test_spatial_uniformity(self):
+        # features should cover all four quadrants of a textured image
+        img = jnp.asarray(textured(160, 160, seed=9))
+        kp = features.extract(img, ORB4, 200)
+        xy = np.asarray(kp.xy)[np.asarray(kp.valid)]
+        for qx in (0, 1):
+            for qy in (0, 1):
+                inq = ((xy[:, 0] >= qx * 80) & (xy[:, 0] < qx * 80 + 80)
+                       & (xy[:, 1] >= qy * 80) & (xy[:, 1] < qy * 80 + 80))
+                assert inq.sum() > 5, (qx, qy, inq.sum())
+
+
+class TestMatcher:
+    def _desc(self, rng, n):
+        bits = jnp.asarray(rng.randint(0, 2, (n, 256)).astype(np.uint8))
+        return orb.bits_to_pm1(bits), bits
+
+    def test_exact_match(self):
+        rng = np.random.RandomState(6)
+        a, bits = self._desc(rng, 50)
+        perm = rng.permutation(50)
+        b = a[perm]
+        compat = jnp.ones((50, 50), bool)
+        res = matcher.match(a, b, compat, max_dist=10.0)
+        inv = np.argsort(perm)
+        np.testing.assert_array_equal(np.asarray(res.idx), inv)
+        assert bool(res.ok.all())
+
+    def test_noisy_match_with_ratio(self):
+        rng = np.random.RandomState(7)
+        _, bits = self._desc(rng, 80)
+        noise = rng.rand(80, 256) < 0.05  # flip 5% of bits
+        bits_b = jnp.asarray(np.asarray(bits) ^ noise.astype(np.uint8))
+        a = orb.bits_to_pm1(bits)
+        b = orb.bits_to_pm1(bits_b)
+        res = matcher.match(a, b, jnp.ones((80, 80), bool), max_dist=50.0, ratio=0.75)
+        idx = np.asarray(res.idx)
+        ok = np.asarray(res.ok)
+        assert ok.sum() > 70
+        assert (idx[ok] == np.nonzero(ok)[0]).all()
+
+    def test_window_mask(self):
+        xa = jnp.array([[10.0, 10.0], [50.0, 50.0]])
+        xb = jnp.array([[12.0, 11.0], [100.0, 100.0]])
+        m = np.asarray(matcher.window_mask(xa, xb, 5.0))
+        assert m[0, 0] and not m[0, 1] and not m[1, 0] and not m[1, 1]
+
+    def test_mutual(self):
+        rng = np.random.RandomState(8)
+        a, _ = self._desc(rng, 30)
+        res = matcher.match(a, a, jnp.ones((30, 30), bool), max_dist=5.0, mutual=True)
+        np.testing.assert_array_equal(np.asarray(res.idx), np.arange(30))
+
+    def test_rotation_consistency(self):
+        rng = np.random.RandomState(9)
+        a, bits = self._desc(rng, 100)
+        res = matcher.match(a, a, jnp.ones((100, 100), bool), max_dist=5.0)
+        ang_a = jnp.zeros(100)
+        # 90 consistent rotations of 0.5 rad, 10 outliers at ~pi
+        ang_b = jnp.asarray(np.where(np.arange(100) < 90, -0.5, -3.0).astype(np.float32))
+        out = matcher.rotation_consistency(ang_a, ang_b, res)
+        ok = np.asarray(out.ok)
+        assert ok[:90].all()
+        # outlier bin may survive only if it lands in top-3 with >10% of max: 10 > 9 -> survives
+        # tighten: use 5 outliers
+        ang_b2 = jnp.asarray(np.where(np.arange(100) < 95, -0.5, -3.0).astype(np.float32))
+        out2 = matcher.rotation_consistency(ang_a, ang_b2, res)
+        ok2 = np.asarray(out2.ok)
+        assert ok2[:95].all() and not ok2[95:].any()
+
+    def test_resolve_duplicates(self):
+        res = matcher.MatchResult(
+            idx=jnp.array([2, 2, 1, -1]),
+            dist=jnp.array([5.0, 3.0, 7.0, matcher.BIG]),
+            ok=jnp.array([True, True, True, False]),
+        )
+        out = matcher.resolve_duplicates(res, n_b=4)
+        ok = np.asarray(out.ok)
+        assert not ok[0] and ok[1] and ok[2] and not ok[3]
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
