@@ -74,9 +74,10 @@ def undistort_fisheye(cam: CameraConfig, uv_dist, iters: int = 10):
         f = _theta_d(cam, theta) - theta_d
         fp = _theta_d_prime(cam, theta)
         theta = theta - f / jnp.where(jnp.abs(fp) < 1e-9, 1e-9, fp)
-    # Rays beyond ~87 deg off-axis have no pinhole image (tan singularity); clamp so
-    # corner pixels outside the usable (masked) FOV stay finite instead of diverging.
-    theta = jnp.clip(theta, -1.52, 1.52)
+    # Rays at ~90 deg off-axis have no pinhole image (tan singularity); clamp just
+    # below pi/2 so out-of-FOV pixels stay finite instead of diverging (this camera's
+    # corners reach theta ~ 1.55).
+    theta = jnp.clip(theta, -1.565, 1.565)
     r = jnp.tan(theta)
     scale = jnp.where(theta_d < 1e-9, 1.0, r / jnp.where(theta_d < 1e-9, 1.0, theta_d))
     u = cam.fx * xd * scale + cam.cx

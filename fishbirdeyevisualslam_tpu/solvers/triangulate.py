@@ -65,7 +65,7 @@ def triangulate(
     w, V = jnp.linalg.eigh(AtA)
     X_h = V[..., :, 0]  # eigenvector of smallest eigenvalue
     w_ok = jnp.abs(X_h[..., 3]) > 1e-9
-    Xw = X_h[..., :3] / jnp.where(w_ok, X_h[..., 3:], 1.0)
+    Xw = X_h[..., :3] / jnp.where(w_ok[..., None], X_h[..., 3:], 1.0)
 
     p1 = se3.transform(Tcw1, Xw)
     p2 = se3.transform(Tcw2, Xw)
