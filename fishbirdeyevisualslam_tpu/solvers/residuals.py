@@ -92,7 +92,8 @@ def bird_point_jacobian(Tcw, Xw):
     """3x3 Jacobian wrt the world point: -R (reference
     ``EdgeSE3ProjectXYZ2XYZQuat::linearizeOplus``, ``.cc:157-169``)."""
     R = se3.quat_to_matrix(Tcw[..., :4])
-    return jnp.broadcast_to(-R, Xw.shape[:-1] + (3, 3))
+    shape = jnp.broadcast_shapes(Xw.shape[:-1], Tcw.shape[:-1]) + (3, 3)
+    return jnp.broadcast_to(-R, shape)
 
 
 def odom_residuals(T_meas, T1, T2):
