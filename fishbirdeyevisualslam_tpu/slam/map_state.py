@@ -1,0 +1,212 @@
+"""Functional map state: fixed-capacity struct-of-arrays with validity masks.
+
+This replaces the reference's pointer graph (``Map``/``KeyFrame``/``MapPoint``/
+``MapPointBird`` with per-object mutexes, ``src/Map.h:74-77``) by one immutable
+pytree passed through jitted update functions (SURVEY.md §7 design stance):
+
+  * keyframe insertion  = writing into a free slot (no allocation, no locks),
+  * culling             = validity-mask flips,
+  * covisibility        = segment-sums over the observation arrays,
+  * every consumer (matching, BA, loop closing) reads padded fixed-shape arrays.
+
+Observations are stored landmark-major — ``obs_kf``/``obs_feat`` of shape
+(P, M) — which is exactly the layout ``solvers.ba.PointBlocks`` consumes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fishbirdeyevisualslam_tpu.config import SystemConfig
+from fishbirdeyevisualslam_tpu.geometry import se3
+
+
+class MapState(NamedTuple):
+    # --- keyframes -----------------------------------------------------------
+    kf_Tcw: jnp.ndarray        # (K, 7) world-to-camera pose
+    kf_valid: jnp.ndarray      # (K,) bool
+    kf_is_init: jnp.ndarray    # (K,) bool — gauge-fixed in local BA (KeyFrame::isInit)
+    kf_odom: jnp.ndarray       # (K, 3) raw wheel odometry (x, y, theta)
+    kf_timestamp: jnp.ndarray  # (K,)
+    kf_frame_id: jnp.ndarray   # (K,) int32 source frame id
+    # per-KF front keypoints (undistorted uv, octave, packed descriptors)
+    kf_uv: jnp.ndarray         # (K, F, 2)
+    kf_octave: jnp.ndarray     # (K, F) int32
+    kf_desc: jnp.ndarray       # (K, F, 8) uint32
+    kf_kp_valid: jnp.ndarray   # (K, F) bool
+    kf_mp: jnp.ndarray         # (K, F) int32 map-point id per feature, -1 none
+    # per-KF bird keypoints
+    kf_bird_cam: jnp.ndarray   # (K, FB, 3) camera-frame metric points
+    kf_bird_desc: jnp.ndarray  # (K, FB, 8) uint32
+    kf_bird_octave: jnp.ndarray# (K, FB) int32
+    kf_bird_kp_valid: jnp.ndarray  # (K, FB) bool
+    kf_bird_mp: jnp.ndarray    # (K, FB) int32 bird-point id per feature, -1 none
+    # --- front map points ----------------------------------------------------
+    mp_pos: jnp.ndarray        # (P, 3)
+    mp_desc: jnp.ndarray       # (P, 8) uint32 distinctive descriptor
+    mp_valid: jnp.ndarray      # (P,) bool
+    mp_normal: jnp.ndarray     # (P, 3) mean viewing direction
+    mp_min_dist: jnp.ndarray   # (P,) scale-invariance range
+    mp_max_dist: jnp.ndarray   # (P,)
+    mp_ref_kf: jnp.ndarray     # (P,) int32
+    mp_visible: jnp.ndarray    # (P,) int32 — found/visible ratio culling
+    mp_found: jnp.ndarray      # (P,) int32
+    mp_first_kf: jnp.ndarray   # (P,) int32 — recent-point culling window
+    obs_kf: jnp.ndarray        # (P, M) int32
+    obs_feat: jnp.ndarray      # (P, M) int32
+    obs_valid: jnp.ndarray     # (P, M) bool
+    # --- bird map points -----------------------------------------------------
+    bp_pos: jnp.ndarray        # (PB, 3)
+    bp_desc: jnp.ndarray       # (PB, 8)
+    bp_valid: jnp.ndarray      # (PB,) bool
+    bp_ref_kf: jnp.ndarray     # (PB,) int32
+    bobs_kf: jnp.ndarray       # (PB, MB) int32
+    bobs_feat: jnp.ndarray     # (PB, MB) int32
+    bobs_valid: jnp.ndarray    # (PB, MB) bool
+    # --- counters ------------------------------------------------------------
+    n_kf: jnp.ndarray          # () int32 next free KF slot (monotone)
+    n_mp: jnp.ndarray          # () int32 cursor for point allocation
+    n_bp: jnp.ndarray          # () int32
+
+    @property
+    def K(self):
+        return self.kf_Tcw.shape[0]
+
+
+def empty_map(cfg: SystemConfig) -> MapState:
+    c = cfg.capacity
+    K, F, FB = c.max_keyframes, c.max_front_kp, c.max_bird_kp
+    P, PB, M, MB = c.max_points, c.max_bird_points, c.max_obs_per_point, 8
+    f32, i32 = jnp.float32, jnp.int32
+    return MapState(
+        kf_Tcw=jnp.tile(se3.identity()[None], (K, 1)),
+        kf_valid=jnp.zeros(K, bool),
+        kf_is_init=jnp.zeros(K, bool),
+        kf_odom=jnp.zeros((K, 3), f32),
+        kf_timestamp=jnp.zeros(K, f32),
+        kf_frame_id=jnp.full(K, -1, i32),
+        kf_uv=jnp.zeros((K, F, 2), f32),
+        kf_octave=jnp.zeros((K, F), i32),
+        kf_desc=jnp.zeros((K, F, 8), jnp.uint32),
+        kf_kp_valid=jnp.zeros((K, F), bool),
+        kf_mp=jnp.full((K, F), -1, i32),
+        kf_bird_cam=jnp.zeros((K, FB, 3), f32),
+        kf_bird_desc=jnp.zeros((K, FB, 8), jnp.uint32),
+        kf_bird_octave=jnp.zeros((K, FB), i32),
+        kf_bird_kp_valid=jnp.zeros((K, FB), bool),
+        kf_bird_mp=jnp.full((K, FB), -1, i32),
+        mp_pos=jnp.zeros((P, 3), f32),
+        mp_desc=jnp.zeros((P, 8), jnp.uint32),
+        mp_valid=jnp.zeros(P, bool),
+        mp_normal=jnp.zeros((P, 3), f32),
+        mp_min_dist=jnp.zeros(P, f32),
+        mp_max_dist=jnp.full(P, 1e9, f32),
+        mp_ref_kf=jnp.zeros(P, i32),
+        mp_visible=jnp.ones(P, i32),
+        mp_found=jnp.ones(P, i32),
+        mp_first_kf=jnp.zeros(P, i32),
+        obs_kf=jnp.zeros((P, M), i32),
+        obs_feat=jnp.zeros((P, M), i32),
+        obs_valid=jnp.zeros((P, M), bool),
+        bp_pos=jnp.zeros((PB, 3), f32),
+        bp_desc=jnp.zeros((PB, 8), jnp.uint32),
+        bp_valid=jnp.zeros(PB, bool),
+        bp_ref_kf=jnp.zeros(PB, i32),
+        bobs_kf=jnp.zeros((PB, MB), i32),
+        bobs_feat=jnp.zeros((PB, MB), i32),
+        bobs_valid=jnp.zeros((PB, MB), bool),
+        n_kf=jnp.int32(0),
+        n_mp=jnp.int32(0),
+        n_bp=jnp.int32(0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Derived structures
+# ---------------------------------------------------------------------------
+
+
+def covisibility_counts(m: MapState) -> jnp.ndarray:
+    """(K, K) int32: number of shared front map points between KF pairs — the
+    covisibility graph (reference ``KeyFrame::UpdateConnections`` weight, th=15).
+
+    Built by one segment-sum over the observation blocks: for every landmark the
+    (M x M) pairs of observing KFs each contribute 1.
+    """
+    K = m.K
+    P, M = m.obs_kf.shape
+    v = m.obs_valid & m.mp_valid[:, None]
+    pair = (v[:, :, None] & v[:, None, :]).astype(jnp.int32)  # (P, M, M)
+    i = jnp.broadcast_to(m.obs_kf[:, :, None], (P, M, M))
+    j = jnp.broadcast_to(m.obs_kf[:, None, :], (P, M, M))
+    C = jnp.zeros((K, K), jnp.int32).at[i, j].add(pair)
+    C = C - jnp.diag(jnp.diag(C))  # no self-edges
+    return C
+
+
+def bird_covisibility_counts(m: MapState) -> jnp.ndarray:
+    """(K, K): shared MapPointBird counts (``KeyFrame::UpdateBirdConnections``,
+    th=2, ``src/KeyFrame.cc:418-562``)."""
+    K = m.K
+    PB, MB = m.bobs_kf.shape
+    v = m.bobs_valid & m.bp_valid[:, None]
+    pair = (v[:, :, None] & v[:, None, :]).astype(jnp.int32)
+    i = jnp.broadcast_to(m.bobs_kf[:, :, None], (PB, MB, MB))
+    j = jnp.broadcast_to(m.bobs_kf[:, None, :], (PB, MB, MB))
+    C = jnp.zeros((K, K), jnp.int32).at[i, j].add(pair)
+    return C - jnp.diag(jnp.diag(C))
+
+
+def point_obs_count(m: MapState) -> jnp.ndarray:
+    return jnp.sum((m.obs_valid & m.mp_valid[:, None]).astype(jnp.int32), axis=1)
+
+
+def add_observation(m: MapState, pt_idx, kf_idx, feat_idx, valid) -> MapState:
+    """Scatter a batch of (point, kf, feature) observations into free obs slots.
+
+    pt_idx/kf_idx/feat_idx: (B,) int32; valid: (B,) bool.  Each point's first
+    invalid slot is used; if a point receives multiple new obs in one batch they
+    land in successive slots via the rank-among-duplicates trick.
+    """
+    P, M = m.obs_kf.shape
+    B = pt_idx.shape[0]
+    safe_pt = jnp.clip(pt_idx, 0, P - 1)
+    # current fill level per point
+    fill = jnp.sum(m.obs_valid.astype(jnp.int32), axis=1)  # (P,)
+    # rank of each batch entry among same-point entries before it
+    same = (pt_idx[None, :] == pt_idx[:, None]) & valid[None, :] & valid[:, None]
+    rank = jnp.sum(jnp.tril(same, -1), axis=1)  # (B,)
+    slot = jnp.clip(fill[safe_pt] + rank, 0, M - 1)
+    ok = valid & (fill[safe_pt] + rank < M)
+    # scatter (drop invalid into slot M-1 of point P-1 then restore)
+    upd_pt = jnp.where(ok, safe_pt, P - 1)
+    upd_slot = jnp.where(ok, slot, M - 1)
+    obs_kf = m.obs_kf.at[upd_pt, upd_slot].set(
+        jnp.where(ok, kf_idx, m.obs_kf[upd_pt, upd_slot]))
+    obs_feat = m.obs_feat.at[upd_pt, upd_slot].set(
+        jnp.where(ok, feat_idx, m.obs_feat[upd_pt, upd_slot]))
+    obs_valid = m.obs_valid.at[upd_pt, upd_slot].set(
+        jnp.where(ok, True, m.obs_valid[upd_pt, upd_slot]))
+    return m._replace(obs_kf=obs_kf, obs_feat=obs_feat, obs_valid=obs_valid)
+
+
+def add_bird_observation(m: MapState, pt_idx, kf_idx, feat_idx, valid) -> MapState:
+    PB, MB = m.bobs_kf.shape
+    safe_pt = jnp.clip(pt_idx, 0, PB - 1)
+    fill = jnp.sum(m.bobs_valid.astype(jnp.int32), axis=1)
+    same = (pt_idx[None, :] == pt_idx[:, None]) & valid[None, :] & valid[:, None]
+    rank = jnp.sum(jnp.tril(same, -1), axis=1)
+    slot = jnp.clip(fill[safe_pt] + rank, 0, MB - 1)
+    ok = valid & (fill[safe_pt] + rank < MB)
+    upd_pt = jnp.where(ok, safe_pt, PB - 1)
+    upd_slot = jnp.where(ok, slot, MB - 1)
+    bobs_kf = m.bobs_kf.at[upd_pt, upd_slot].set(
+        jnp.where(ok, kf_idx, m.bobs_kf[upd_pt, upd_slot]))
+    bobs_feat = m.bobs_feat.at[upd_pt, upd_slot].set(
+        jnp.where(ok, feat_idx, m.bobs_feat[upd_pt, upd_slot]))
+    bobs_valid = m.bobs_valid.at[upd_pt, upd_slot].set(
+        jnp.where(ok, True, m.bobs_valid[upd_pt, upd_slot]))
+    return m._replace(bobs_kf=bobs_kf, bobs_feat=bobs_feat, bobs_valid=bobs_valid)

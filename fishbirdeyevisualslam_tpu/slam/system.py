@@ -1,0 +1,351 @@
+"""System facade: the host-side orchestration of the SLAM pipeline.
+
+The analog of ``System`` + the ``Tracking`` thread body (``src/System.cc``,
+``src/Tracking.cc:479-770``): holds the functional map state, drives the jitted
+device steps, implements the NOT_INITIALIZED / OK / LOST state machine, the
+keyframe policy, and per-frame trajectory bookkeeping.  The reference's
+LocalMapping thread work (triangulation, culling, local BA) runs synchronously
+after keyframe insertion — a deterministic pipeline instead of mutex+queue
+interleaving (SURVEY.md §5 asynchrony note).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fishbirdeyevisualslam_tpu.config import SystemConfig
+from fishbirdeyevisualslam_tpu.geometry import se3, ipm, odometry as odo
+from fishbirdeyevisualslam_tpu.slam import map_state as ms
+from fishbirdeyevisualslam_tpu.slam import tracking as tr
+from fishbirdeyevisualslam_tpu.slam.frame import Frame, build_frame
+
+
+@dataclasses.dataclass
+class TrajectoryEntry:
+    timestamp: float
+    Tcw: np.ndarray           # (7,)
+    is_keyframe: bool
+    state: int
+
+
+class SlamSystem:
+    """``System::TrackMonocularWithOdom`` equivalent front door."""
+
+    def __init__(self, cfg: SystemConfig = SystemConfig(), localization_only: bool = False):
+        self.cfg = cfg
+        self.map: Optional[ms.MapState] = None
+        self.state = tr.NOT_INITIALIZED
+        self.localization_only = localization_only  # ActivateLocalizationMode analog
+        self.ref_frame: Optional[Frame] = None
+        self.ref_frame_id: int = -1
+        self.last_frame: Optional[Frame] = None
+        self.last_assoc: Optional[tr.TrackObs] = None
+        self.last_Tcw = se3.identity()
+        self.last_kf_slot = -1
+        self.last_kf_frame_id = -1
+        self.ref_kf_tracked = 0
+        self.frame_id = -1
+        self.n_lost_frames = 0
+        self.trajectory: List[TrajectoryEntry] = []
+        self._key = jax.random.PRNGKey(7)
+
+    # ------------------------------------------------------------------ utils
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _odom_T21(self, f1: Frame, f2: Frame):
+        """T_c2_c1 from odometry (the initializer's scale/seed input)."""
+        return se3.inverse(odo.preintegrate_cam(self.cfg.extrinsics, f1.odom, f2.odom))
+
+    def _record(self, f: Frame, Tcw, is_kf: bool):
+        self.trajectory.append(
+            TrajectoryEntry(float(f.timestamp), np.asarray(Tcw), is_kf, self.state)
+        )
+
+    # ------------------------------------------------------------------ API
+    def track(self, front_gray, bird_gray, bird_mask, odom, timestamp) -> np.ndarray:
+        """Process one frame; returns the current Tcw estimate (7,)."""
+        self.frame_id += 1
+        f = build_frame(
+            jnp.asarray(front_gray, jnp.float32),
+            jnp.asarray(bird_gray, jnp.float32),
+            jnp.asarray(bird_mask),
+            jnp.asarray(odom, jnp.float32),
+            jnp.asarray(timestamp, jnp.float32),
+            self.cfg,
+            self.cfg.capacity.max_front_kp,
+        )
+        if self.state == tr.NOT_INITIALIZED:
+            Tcw = self._initialize(f)
+        elif self.state == tr.OK:
+            Tcw = self._track_ok(f)
+        else:
+            Tcw = self._track_lost(f)
+        self.last_frame = f
+        self.last_Tcw = Tcw
+        return np.asarray(Tcw)
+
+    # ---------------------------------------------------------------- states
+    def _initialize(self, f: Frame):
+        cfg = self.cfg
+        if self.ref_frame is None:
+            self.ref_frame = f
+            self.ref_frame_id = self.frame_id
+            self._record(f, se3.identity(), False)
+            return se3.identity()
+        res = tr.match_for_init(self.ref_frame, f, cfg)
+        n = int(res.count)
+        if n < cfg.tracking.min_init_matches:
+            # not enough matches: restart from this frame (Tracking.cc:854-861)
+            self.ref_frame = f
+            self.ref_frame_id = self.frame_id
+            self._record(f, se3.identity(), False)
+            return se3.identity()
+        T21_odom = self._odom_T21(self.ref_frame, f)
+        P = cfg.capacity.max_front_kp
+        uv2 = jnp.where(res.ok[:, None], f.uv[jnp.clip(res.idx, 0, P - 1)], 0.0)
+        init_out = tr.init_mod.initialize(
+            cfg.camera, self.ref_frame.uv, uv2, res.ok, T21_odom, self._next_key(),
+            loose_couple=cfg.flags.loose_couple,
+        )
+        if not bool(init_out.success) and cfg.flags.loose_couple:
+            # planar/degenerate-F scenes: fall back to the odometry-rotation
+            # hypothesis (the ReInitconstructF path) instead of the H model
+            init_out = tr.init_mod.reinitialize(
+                cfg.camera, self.ref_frame.uv, uv2, res.ok, T21_odom, self._next_key(),
+            )
+        if not bool(init_out.success):
+            self._record(f, se3.identity(), False)
+            return se3.identity()
+        m = tr.create_initial_map(
+            self.ref_frame, f, init_out, cfg, res,
+            jnp.asarray([self.ref_frame_id, self.frame_id], jnp.int32),
+        )
+        # initial global BA (GlobalBundleAdjustemntWithOdom(map, 20), Tracking.cc:994)
+        m = tr.local_ba(m, cfg, jnp.int32(1))
+        self.map = m
+        self.state = tr.OK
+        self.last_kf_slot = 1
+        self.last_kf_frame_id = self.frame_id
+        self.last_assoc = tr.TrackObs(m.kf_mp[1], m.kf_bird_mp[1])
+        self.ref_kf_tracked = int(jnp.sum((m.kf_mp[1] >= 0)))
+        Tcw = m.kf_Tcw[1]
+        self._record(f, Tcw, True)
+        return Tcw
+
+    def _track_ok(self, f: Frame):
+        cfg = self.cfg
+        m = self.map
+        # odometry motion prior (loose couple, Tracking.cc:1316-1320)
+        Tcw_pred = odo.motion_prior_Tcw(
+            cfg.extrinsics, self.last_Tcw, self.last_frame.odom, f.odom
+        )
+        # --- TrackWithMotionModel: match against points seen in the last frame
+        P = m.mp_pos.shape[0]
+        cand_last = jnp.zeros((P,), bool).at[
+            jnp.clip(self.last_assoc.mp_idx, 0, P - 1)
+        ].set(self.last_assoc.mp_idx >= 0)
+        res, vis = tr.match_map_points(
+            m, f, cfg, Tcw_pred, cand_last,
+            radius=jnp.float32(15.0), max_dist=jnp.float32(cfg.matcher.th_high),
+        )
+        n_mm = int(res.count)
+        if n_mm < cfg.tracking.min_track_matches:
+            # widen the window once like the reference (radius 2x)
+            res, vis = tr.match_map_points(
+                m, f, cfg, Tcw_pred, cand_last,
+                radius=jnp.float32(30.0), max_dist=jnp.float32(cfg.matcher.th_high),
+            )
+            n_mm = int(res.count)
+        bmask = tr.bird_local_mask(m, cfg, Tcw_pred)
+        bres = tr.match_bird_points(m, f, cfg, Tcw_pred, bmask)
+        assoc = tr.TrackObs(res.idx, bres.idx)
+        if n_mm >= 10:
+            out1 = tr.pose_opt_step(m, f, assoc, cfg, Tcw_pred)
+            Tcw = out1.Tcw
+            assoc = tr.TrackObs(
+                jnp.where(out1.front_inlier, assoc.mp_idx, -1),
+                jnp.where(out1.bird_inlier, assoc.bp_idx, -1),
+            )
+        else:
+            Tcw = Tcw_pred
+
+        # --- TrackLocalMap
+        pt_local, local_kf = tr.local_map_mask(m, assoc.mp_idx, cfg)
+        res2, vis2 = tr.match_map_points(
+            m, f, cfg, Tcw, pt_local,
+            radius=jnp.float32(8.0), max_dist=jnp.float32(cfg.matcher.th_high),
+        )
+        mp_idx = jnp.where(assoc.mp_idx >= 0, assoc.mp_idx, res2.idx)
+        bres2 = tr.match_bird_points(m, f, cfg, Tcw, tr.bird_local_mask(m, cfg, Tcw))
+        bp_idx = jnp.where(assoc.bp_idx >= 0, assoc.bp_idx, bres2.idx)
+        assoc = tr.TrackObs(mp_idx, bp_idx)
+        out2 = tr.pose_opt_step(m, f, assoc, cfg, Tcw)
+        n_in = int(out2.n_inliers)
+        # visible bookkeeping for culling
+        self.map = m._replace(
+            mp_visible=m.mp_visible + (vis2 & pt_local).astype(jnp.int32)
+        )
+        assoc = tr.TrackObs(
+            jnp.where(out2.front_inlier, assoc.mp_idx, -1),
+            jnp.where(out2.bird_inlier, assoc.bp_idx, -1),
+        )
+        Tcw = out2.Tcw
+
+        if n_in < 10:
+            self.state = tr.LOST
+            self.n_lost_frames = 0
+            self._record(f, Tcw, False)
+            self.last_assoc = assoc
+            return Tcw
+
+        self.last_assoc = assoc
+        # --- keyframe policy (NeedNewKeyFrame, Tracking.cc:1444-1540)
+        frames_since = self.frame_id - self.last_kf_frame_id
+        need = (
+            not self.localization_only
+            and frames_since >= 1
+            and (
+                frames_since >= cfg.tracking.max_frames_between_kf
+                or n_in < 0.9 * max(self.ref_kf_tracked, 1)
+            )
+            and n_in >= 15
+        )
+        is_kf = False
+        if need and int(self.map.n_kf) < cfg.capacity.max_keyframes - 1:
+            m = self.map
+            new_slot = int(m.n_kf)
+            m = tr.insert_keyframe(m, f, assoc, Tcw, cfg, jnp.int32(self.frame_id))
+            m = tr.triangulate_new_points(m, jnp.int32(new_slot), jnp.int32(self.last_kf_slot), cfg)
+            m = tr.cull_points(m, cfg)
+            m = tr.local_ba(m, cfg, jnp.int32(new_slot))
+            self.map = m
+            Tcw = m.kf_Tcw[new_slot]
+            self.last_kf_slot = new_slot
+            self.last_kf_frame_id = self.frame_id
+            self.ref_kf_tracked = n_in
+            # refresh associations from the KF record (post-BA)
+            self.last_assoc = tr.TrackObs(m.kf_mp[new_slot], m.kf_bird_mp[new_slot])
+            is_kf = True
+        self._record(f, Tcw, is_kf)
+        return Tcw
+
+    def _track_lost(self, f: Frame):
+        """Loss recovery: odometry dead-reckoning + bird-only tracking + odometry-
+        seeded re-initialization of a fresh KF pair (Tracking.cc:2395-2481)."""
+        cfg = self.cfg
+        m = self.map
+        Tcw_pred = odo.motion_prior_Tcw(
+            cfg.extrinsics, self.last_Tcw, self.last_frame.odom, f.odom
+        )
+        self.n_lost_frames += 1
+        # TrackUsingBird: bird-only pose against the bird local map
+        bres = tr.match_bird_points(m, f, cfg, Tcw_pred, tr.bird_local_mask(m, cfg, Tcw_pred))
+        Tcw = Tcw_pred
+        if int(bres.count) >= 10:
+            bird_assoc = tr.TrackObs(jnp.full_like(self.last_assoc.mp_idx, -1), bres.idx)
+            outb = tr.pose_opt_step(m, f, bird_assoc, cfg, Tcw_pred)
+            if int(outb.bird_inlier.sum()) >= 10:
+                Tcw = outb.Tcw
+
+        # attempt odometry-seeded re-initialization against the previous frame
+        res = tr.match_for_init(self.last_frame, f, cfg)
+        if int(res.count) >= cfg.tracking.min_init_matches and int(m.n_kf) < cfg.capacity.max_keyframes - 2:
+            T21_odom = self._odom_T21(self.last_frame, f)
+            P = cfg.capacity.max_front_kp
+            uv2 = jnp.where(res.ok[:, None], f.uv[jnp.clip(res.idx, 0, P - 1)], 0.0)
+            out = tr.init_mod.reinitialize(
+                cfg.camera, self.last_frame.uv, uv2, res.ok, T21_odom, self._next_key(),
+            )
+            if bool(out.success):
+                m = self._append_reinit_pair(m, self.last_frame, f, out, res)
+                self.map = m
+                self.state = tr.OK
+                slot = int(m.n_kf) - 1
+                Tcw = m.kf_Tcw[slot]
+                self.last_kf_slot = slot
+                self.last_kf_frame_id = self.frame_id
+                self.last_assoc = tr.TrackObs(m.kf_mp[slot], m.kf_bird_mp[slot])
+                self.ref_kf_tracked = int(jnp.sum(m.kf_mp[slot] >= 0))
+                self._record(f, Tcw, True)
+                return Tcw
+        self._record(f, Tcw, False)
+        self.last_assoc = tr.TrackObs(
+            jnp.full_like(self.last_assoc.mp_idx, -1),
+            jnp.full_like(self.last_assoc.bp_idx, -1),
+        )
+        return Tcw
+
+    def _append_reinit_pair(self, m, f1, f2, init_out, match_res):
+        """``CreateReInitialMapPoints`` (``Tracking.cc:1056-1159``): append a KF
+        pair starting a new sub-map, with poses chained from the last estimate."""
+        cfg = self.cfg
+        Tcw1 = self.last_Tcw  # pose of f1 = dead-reckoned last pose
+        Tcw2 = se3.compose(init_out.T21, Tcw1)
+        slot1 = m.n_kf
+        m = tr._write_kf(m, slot1, f1, Tcw1, True, jnp.int32(self.frame_id - 1))
+        slot2 = m.n_kf
+        m = tr._write_kf(m, slot2, f2, Tcw2, False, jnp.int32(self.frame_id))
+        # triangulated points are in f1's camera frame -> world
+        Twc1 = se3.inverse(Tcw1)
+        Xw = se3.transform(Twc1, init_out.Xw)
+        F = f1.uv.shape[0]
+        P = m.mp_pos.shape[0]
+        ok = match_res.ok & init_out.triangulated
+        start = m.n_mp
+        order = jnp.cumsum(ok.astype(jnp.int32)) - 1
+        dest = jnp.where(ok, jnp.clip(start + order, 0, P - 1), P - 1)
+        can = ok & (start + order < P)
+        feat2 = jnp.clip(match_res.idx, 0, F - 1)
+        m = m._replace(
+            mp_pos=m.mp_pos.at[dest].set(jnp.where(can[:, None], Xw, m.mp_pos[dest])),
+            mp_desc=m.mp_desc.at[dest].set(jnp.where(can[:, None], f2.desc[feat2], m.mp_desc[dest])),
+            mp_valid=m.mp_valid.at[dest].set(jnp.where(can, True, m.mp_valid[dest])),
+            mp_ref_kf=m.mp_ref_kf.at[dest].set(jnp.where(can, slot2, m.mp_ref_kf[dest])),
+            mp_first_kf=m.mp_first_kf.at[dest].set(jnp.where(can, slot1, m.mp_first_kf[dest])),
+            n_mp=jnp.minimum(start + jnp.sum(ok.astype(jnp.int32)), P),
+            kf_mp=m.kf_mp.at[slot1].set(jnp.where(can, dest, -1))
+                         .at[slot2].set(jnp.full((F,), -1, jnp.int32).at[jnp.where(can, feat2, F - 1)].set(
+                             jnp.where(can, dest, -1))),
+        )
+        feats1 = jnp.arange(F, dtype=jnp.int32)
+        m = ms.add_observation(m, dest, jnp.full(F, slot1, jnp.int32), feats1, can)
+        m = ms.add_observation(m, dest, jnp.full(F, slot2, jnp.int32), feat2, can)
+        return m
+
+    # ------------------------------------------------------------- trajectory
+    def keyframe_trajectory_tum(self) -> str:
+        """``SaveKeyFrameTrajectoryOdomTUM`` (``System.cc:543-585``): TUM lines
+        of base-frame world poses Twb for every (current) keyframe."""
+        if self.map is None:
+            return ""
+        lines = []
+        m = self.map
+        n = int(m.n_kf)
+        for k in range(n):
+            if not bool(m.kf_valid[k]):
+                continue
+            Twc = se3.inverse(m.kf_Tcw[k])
+            Twb = ipm.Twb_from_Twc(self.cfg.extrinsics, Twc)
+            q = np.asarray(Twb[:4])  # wxyz
+            t = np.asarray(Twb[4:])
+            ts = float(m.kf_timestamp[k])
+            lines.append(
+                f"{ts:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}"
+            )
+        return "\n".join(lines) + "\n"
+
+    def frame_trajectory_Twb(self) -> np.ndarray:
+        """(N, 7) per-frame base poses for ATE evaluation."""
+        out = []
+        for e in self.trajectory:
+            Twc = se3.inverse(jnp.asarray(e.Tcw))
+            out.append(np.asarray(ipm.Twb_from_Twc(self.cfg.extrinsics, Twc)))
+        return np.stack(out) if out else np.zeros((0, 7))

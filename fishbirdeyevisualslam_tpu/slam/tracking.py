@@ -1,0 +1,489 @@
+"""Tracking front-end: the reference's ``Tracking`` state machine re-expressed as
+host-orchestrated jitted device steps over the functional map state.
+
+Mapping to the reference (``src/Tracking.cc``):
+
+  * ``MonocularInitialization`` (``:827-1053``)  -> ``match_for_init`` +
+    ``solvers.initializer.initialize`` + ``create_initial_map``
+  * ``TrackWithMotionModel`` (``:1312-1385``)    -> ``track_motion_model``
+    (odometry prior when loose coupling, ``:1316-1320``)
+  * ``TrackLocalMap`` (``:1387-1441``)           -> ``track_local_map``
+  * bird matching ``GetLocalMapForBird``/``BirdMapPointMatch``
+    (``:1999-2012``, ``ORBmatcher.cc:1763-1902``) -> ``match_bird_points``
+  * ``NeedNewKeyFrame``/``CreateNewKeyFrame`` (``:1444-1620``) -> host policy +
+    ``insert_keyframe``
+  * re-init after loss (``:2395-2481``)          -> ``solvers.initializer.reinitialize``
+  * ``TrackUsingBird`` (``:2014-2061``)          -> bird-only pose fallback
+
+The device steps are pure functions (MapState, Frame, ...) -> (...); the host
+only reads scalars (inlier counts, state booleans) to drive branching.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fishbirdeyevisualslam_tpu.config import SystemConfig
+from fishbirdeyevisualslam_tpu.geometry import se3, camera as cam_ops, odometry as odo
+from fishbirdeyevisualslam_tpu.ops import matcher
+from fishbirdeyevisualslam_tpu.slam import map_state as ms
+from fishbirdeyevisualslam_tpu.slam.frame import Frame, desc_pm1_from_packed, inv_level_sigma2_lut
+from fishbirdeyevisualslam_tpu.solvers import initializer as init_mod
+from fishbirdeyevisualslam_tpu.solvers.pose_opt import (
+    FrontObs, BirdObs, pose_optimization, bird_only_optimization,
+)
+from fishbirdeyevisualslam_tpu.solvers.triangulate import triangulate
+from fishbirdeyevisualslam_tpu.solvers.ba import PointBlocks, OdomEdges, bundle_adjust
+
+NOT_INITIALIZED = 0
+OK = 1
+LOST = 2
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def match_for_init(f1: Frame, f2: Frame, cfg: SystemConfig) -> matcher.MatchResult:
+    """``SearchForInitialization`` (``ORBmatcher.cc:406``): window 100 px, level-0
+    only in the reference; we match across all levels with ratio 0.9 + rotation
+    consistency + one-to-one."""
+    compat = matcher.window_mask(f1.uv_raw, f2.uv_raw, 100.0)
+    compat = compat & f1.kp_valid[:, None] & f2.kp_valid[None, :]
+    res = matcher.match(
+        f1.desc_pm1, f2.desc_pm1, compat,
+        max_dist=float(cfg.matcher.th_low),
+        ratio=cfg.matcher.nn_ratio_tracking,
+    )
+    res = matcher.rotation_consistency(f1.angle, f2.angle, res, cfg.matcher.histo_length)
+    return matcher.resolve_duplicates(res, f2.uv_raw.shape[0])
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def match_bird_frames(f1: Frame, cfg: SystemConfig, f2: Frame, T12_b):
+    """``ORBmatcher::BirdviewMatch`` (``ORBmatcher.cc:1602-1760``): descriptor
+    match between bird keypoints of two frames, gated by a projection window in
+    the bird image under the relative base transform T12_b and the ground-plane
+    consistency |z| <= 0.2 m of the transported 3D points."""
+    # transport f2's base points into f1's base frame
+    p_in_1 = se3.transform(T12_b, f2.bird_base)
+    from fishbirdeyevisualslam_tpu.geometry import ipm as ipm_mod
+    uv_pred = ipm_mod.base_xy_to_bird_pixel(cfg.bird, p_in_1)
+    compat = matcher.window_mask(f1.bird_uv, uv_pred, 30.0)
+    z_ok = jnp.abs(p_in_1[:, 2]) <= cfg.bird.plane_gate
+    compat = compat & f1.bird_kp_valid[:, None] & (f2.bird_kp_valid & z_ok)[None, :]
+    res = matcher.match(
+        f1.bird_desc_pm1, f2.bird_desc_pm1, compat,
+        max_dist=float(cfg.matcher.th_low), ratio=cfg.matcher.nn_ratio_tracking,
+    )
+    return matcher.resolve_duplicates(res, f2.bird_uv.shape[0])
+
+
+def _write_kf(m: ms.MapState, slot, f: Frame, Tcw, is_init, frame_id) -> ms.MapState:
+    return m._replace(
+        kf_Tcw=m.kf_Tcw.at[slot].set(Tcw),
+        kf_valid=m.kf_valid.at[slot].set(True),
+        kf_is_init=m.kf_is_init.at[slot].set(is_init),
+        kf_odom=m.kf_odom.at[slot].set(f.odom),
+        kf_timestamp=m.kf_timestamp.at[slot].set(f.timestamp),
+        kf_frame_id=m.kf_frame_id.at[slot].set(frame_id),
+        kf_uv=m.kf_uv.at[slot].set(f.uv),
+        kf_octave=m.kf_octave.at[slot].set(f.octave),
+        kf_desc=m.kf_desc.at[slot].set(f.desc),
+        kf_kp_valid=m.kf_kp_valid.at[slot].set(f.kp_valid),
+        kf_bird_cam=m.kf_bird_cam.at[slot].set(f.bird_cam),
+        kf_bird_desc=m.kf_bird_desc.at[slot].set(f.bird_desc),
+        kf_bird_octave=m.kf_bird_octave.at[slot].set(f.bird_octave),
+        kf_bird_kp_valid=m.kf_bird_kp_valid.at[slot].set(f.bird_kp_valid),
+        n_kf=jnp.maximum(m.n_kf, slot + 1),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def create_initial_map(
+    f1: Frame, f2: Frame, init_out, cfg: SystemConfig,
+    match_res: matcher.MatchResult, frame_ids,
+) -> ms.MapState:
+    """``CreateInitialMapMonocular`` (``Tracking.cc:901-1053``): two keyframes,
+    triangulated front points (already metric thanks to odometry scale), bird
+    points from the bird match between the two frames."""
+    m = ms.empty_map(cfg)
+    Tcw1 = se3.identity()
+    Tcw2 = init_out.T21  # frame-1 camera is the world origin
+    m = _write_kf(m, 0, f1, Tcw1, True, frame_ids[0])
+    m = _write_kf(m, 1, f2, Tcw2, False, frame_ids[1])
+
+    # --- front points: one slot per f1 feature with a triangulated match
+    F = f1.uv.shape[0]
+    ok = match_res.ok & init_out.triangulated
+    pt_ids = jnp.cumsum(ok.astype(jnp.int32)) - 1  # dense ids in creation order
+    P = m.mp_pos.shape[0]
+    pt_ids = jnp.where(ok, jnp.clip(pt_ids, 0, P - 1), P - 1)
+    feat2 = jnp.clip(match_res.idx, 0, F - 1)
+
+    m = m._replace(
+        mp_pos=m.mp_pos.at[pt_ids].set(jnp.where(ok[:, None], init_out.Xw, m.mp_pos[pt_ids])),
+        mp_desc=m.mp_desc.at[pt_ids].set(jnp.where(ok[:, None], f2.desc[feat2], m.mp_desc[pt_ids])),
+        mp_valid=m.mp_valid.at[pt_ids].set(jnp.where(ok, True, m.mp_valid[pt_ids])),
+        mp_ref_kf=m.mp_ref_kf.at[pt_ids].set(jnp.where(ok, 1, m.mp_ref_kf[pt_ids])),
+        mp_first_kf=jnp.zeros_like(m.mp_first_kf),
+        n_mp=jnp.sum(ok.astype(jnp.int32)),
+        kf_mp=m.kf_mp.at[0].set(jnp.where(ok, pt_ids, -1))
+                     .at[1].set(jnp.full((F,), -1, jnp.int32).at[jnp.where(ok, feat2, F - 1)].set(
+                         jnp.where(ok, pt_ids, -1))),
+    )
+    feats1 = jnp.arange(F, dtype=jnp.int32)
+    m = ms.add_observation(m, pt_ids, jnp.zeros(F, jnp.int32), feats1, ok)
+    m = ms.add_observation(m, pt_ids, jnp.ones(F, jnp.int32), feat2, ok)
+
+    # --- bird points from the two-frame bird match (world = f1 base frame via Tbc)
+    from fishbirdeyevisualslam_tpu.geometry import ipm as ipm_mod
+    FB = f1.bird_uv.shape[0]
+    T12_b = odo.preintegrate_base(f1.odom, f2.odom)
+    bres = match_bird_frames(f1, cfg, f2, T12_b)
+    # accept if 3D residual under the odometry transform < filter_size*sqrt? use
+    # FilterBirdOutlier's 3D gate (||p1 - T12 p2|| < ~0.15m)
+    p2_in_1 = se3.transform(T12_b, f2.bird_base)
+    d = jnp.linalg.norm(f1.bird_base - jnp.where(bres.ok[:, None], p2_in_1[jnp.clip(bres.idx, 0, FB - 1)], 0.0), axis=-1)
+    bok = bres.ok & (d < 0.15)
+    # world position: f1 is world origin for the camera; base-frame points of f1
+    # must be expressed in the world (camera-1) *world* frame.  World frame =
+    # camera-1 frame of reference with identity Tcw, so world pos of a bird point
+    # = Twc1 * cam_point = cam point itself in camera coords?  No: world points
+    # live in the same frame BA uses, i.e. the frame Tcw maps FROM.  With
+    # Tcw1 = I, world == camera-1 frame, so world pos = f1.bird_cam.
+    PB = m.bp_pos.shape[0]
+    bids = jnp.cumsum(bok.astype(jnp.int32)) - 1
+    bids = jnp.where(bok, jnp.clip(bids, 0, PB - 1), PB - 1)
+    bfeat2 = jnp.clip(bres.idx, 0, FB - 1)
+    m = m._replace(
+        bp_pos=m.bp_pos.at[bids].set(jnp.where(bok[:, None], f1.bird_cam, m.bp_pos[bids])),
+        bp_desc=m.bp_desc.at[bids].set(jnp.where(bok[:, None], f1.bird_desc, m.bp_desc[bids])),
+        bp_valid=m.bp_valid.at[bids].set(jnp.where(bok, True, m.bp_valid[bids])),
+        bp_ref_kf=m.bp_ref_kf.at[bids].set(jnp.where(bok, 0, m.bp_ref_kf[bids])),
+        n_bp=jnp.sum(bok.astype(jnp.int32)),
+        kf_bird_mp=m.kf_bird_mp.at[0].set(jnp.where(bok, bids, -1))
+                              .at[1].set(jnp.full((FB,), -1, jnp.int32).at[jnp.where(bok, bfeat2, FB - 1)].set(
+                                  jnp.where(bok, bids, -1))),
+    )
+    bfeats1 = jnp.arange(FB, dtype=jnp.int32)
+    m = ms.add_bird_observation(m, bids, jnp.zeros(FB, jnp.int32), bfeats1, bok)
+    m = ms.add_bird_observation(m, bids, jnp.ones(FB, jnp.int32), bfeat2, bok)
+    return m
+
+
+# ---------------------------------------------------------------------------
+# Frame-to-map tracking
+# ---------------------------------------------------------------------------
+
+
+class TrackObs(NamedTuple):
+    """Associations of the current frame to the map."""
+
+    mp_idx: jnp.ndarray    # (F,) int32 map-point per front feature, -1 none
+    bp_idx: jnp.ndarray    # (FB,) int32 bird point per bird feature, -1 none
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def match_map_points(
+    m: ms.MapState, f: Frame, cfg: SystemConfig, Tcw_pred,
+    cand_mask, radius: jnp.ndarray, max_dist: jnp.ndarray,
+):
+    """Project candidate map points into the frame and match in a window —
+    the core of both ``SearchByProjection`` variants (last-frame ``ORBmatcher.cc:1329``
+    and local-map ``:46``).  cand_mask: (P,) bool candidate set; radius: scalar px.
+    Returns MatchResult over FEATURES (query = features, target = points)."""
+    P = m.mp_pos.shape[0]
+    pc = se3.transform(Tcw_pred, m.mp_pos)
+    uv_proj = cam_ops.project_pinhole(cfg.camera, pc)
+    vis = cand_mask & m.mp_valid & (pc[:, 2] > 0.1)
+    vis = vis & (uv_proj[:, 0] >= 0) & (uv_proj[:, 0] < cfg.camera.width) \
+              & (uv_proj[:, 1] >= 0) & (uv_proj[:, 1] < cfg.camera.height)
+    compat = matcher.window_mask(f.uv, uv_proj, radius)
+    compat = compat & f.kp_valid[:, None] & vis[None, :]
+    mp_pm1 = desc_pm1_from_packed(m.mp_desc)
+    res = matcher.match(f.desc_pm1, mp_pm1, compat, max_dist=max_dist)
+    res = matcher.resolve_duplicates(res, P)
+    return res, vis
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def match_bird_points(m: ms.MapState, f: Frame, cfg: SystemConfig, Tcw_pred, cand_mask):
+    """``BirdMapPointMatch`` (``ORBmatcher.cc:1763-1902``): project MapPointBird
+    into the current camera frame, descriptor-match in a bird-image window, then
+    accept only if the 3D camera-frame residual < filter_size (0.05 m... the
+    reference uses filterSize=0.05 on coordinate-wise abs)."""
+    from fishbirdeyevisualslam_tpu.geometry import ipm as ipm_mod
+    PB = m.bp_pos.shape[0]
+    pc = se3.transform(Tcw_pred, m.bp_pos)  # predicted camera-frame position
+    p_base = ipm_mod.cam_xyz_to_base(cfg.extrinsics, pc)
+    uv_pred = ipm_mod.base_xy_to_bird_pixel(cfg.bird, p_base)
+    vis = cand_mask & m.bp_valid & (jnp.abs(p_base[:, 2]) < cfg.bird.plane_gate)
+    compat = matcher.window_mask(f.bird_uv, uv_pred, 30.0)
+    compat = compat & f.bird_kp_valid[:, None] & vis[None, :]
+    bp_pm1 = desc_pm1_from_packed(m.bp_desc)
+    res = matcher.match(f.bird_desc_pm1, bp_pm1, compat, max_dist=float(cfg.matcher.th_high))
+    # 3D gate: coordinate-wise |bird_cam - predicted_cam| < 3*filter_size
+    pc_of_match = pc[jnp.clip(res.idx, 0, PB - 1)]
+    d = jnp.abs(f.bird_cam - pc_of_match)
+    ok3d = jnp.all(d < 3 * cfg.bird.filter_size, axis=-1)
+    ok = res.ok & ok3d
+    res = matcher.MatchResult(jnp.where(ok, res.idx, -1), jnp.where(ok, res.dist, matcher.BIG), ok)
+    return matcher.resolve_duplicates(res, PB)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def pose_opt_step(m: ms.MapState, f: Frame, assoc: TrackObs, cfg: SystemConfig, Tcw0):
+    """Build FrontObs/BirdObs from associations and run the 4x10 LM."""
+    lut = inv_level_sigma2_lut(cfg)
+    P = m.mp_pos.shape[0]
+    PB = m.bp_pos.shape[0]
+    fok = assoc.mp_idx >= 0
+    pid = jnp.clip(assoc.mp_idx, 0, P - 1)
+    front = FrontObs(
+        Xw=m.mp_pos[pid],
+        uv=f.uv,
+        inv_sigma2=lut[jnp.clip(f.octave, 0, lut.shape[0] - 1)],
+        valid=fok & m.mp_valid[pid],
+    )
+    bok = assoc.bp_idx >= 0
+    bid = jnp.clip(assoc.bp_idx, 0, PB - 1)
+    bird = BirdObs(
+        Xw=m.bp_pos[bid],
+        Xc=f.bird_cam,
+        inv_sigma2=lut[jnp.clip(f.bird_octave, 0, lut.shape[0] - 1)],
+        valid=bok & m.bp_valid[bid],
+    )
+    return pose_optimization(cfg.camera, cfg.ba, Tcw0, front, bird)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def local_map_mask(m: ms.MapState, assoc_mp: jnp.ndarray, cfg: SystemConfig):
+    """Local-map point candidate mask: points observed by KFs covisible with the
+    KFs already matched in this frame (``UpdateLocalKeyFrames/Points``,
+    ``Tracking.cc:2085-2229``)."""
+    P = m.mp_pos.shape[0]
+    K = m.K
+    pid = jnp.clip(assoc_mp, 0, P - 1)
+    matched = assoc_mp >= 0
+    # votes: which KFs observe the currently matched points
+    kf_votes = jnp.zeros((K,), jnp.int32)
+    ov = m.obs_valid[pid] & matched[:, None]  # (F, M)
+    kf_votes = kf_votes.at[jnp.where(ov, m.obs_kf[pid], 0)].add(ov.astype(jnp.int32))
+    local_kf = (kf_votes > 0) & m.kf_valid
+    # all points observed by any local KF
+    pt_local = jnp.any(local_kf[m.obs_kf] & m.obs_valid, axis=1) & m.mp_valid
+    return pt_local, local_kf
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def bird_local_mask(m: ms.MapState, cfg: SystemConfig, Tcw):
+    """Bird local map: bird points whose reference KF base position is within the
+    5 m sliding window of the current pose (``Map::UpdateLocalBirdMap``,
+    ``Map.cc:97-153``; ``Tracking.cc:2644-2721``)."""
+    from fishbirdeyevisualslam_tpu.geometry import ipm as ipm_mod
+    Twb_cur = ipm_mod.Twb_from_Twc(cfg.extrinsics, se3.inverse(Tcw))
+    ref = jnp.clip(m.bp_ref_kf, 0, m.K - 1)
+    Twb_kf = jax.vmap(lambda T: ipm_mod.Twb_from_Twc(cfg.extrinsics, se3.inverse(T)))(m.kf_Tcw)
+    d = jnp.linalg.norm(Twb_kf[ref][:, 4:6] - Twb_cur[4:6], axis=-1)
+    return m.bp_valid & (d < cfg.tracking.bird_window_meters)
+
+
+# ---------------------------------------------------------------------------
+# Keyframe insertion + local mapping (triangulate new points, local BA)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def insert_keyframe(
+    m: ms.MapState, f: Frame, assoc: TrackObs, Tcw, cfg: SystemConfig, frame_id,
+) -> ms.MapState:
+    """``CreateNewKeyFrame`` (``Tracking.cc:1542-1620``): write the KF, register
+    the frame's map-point associations as observations, create new bird points
+    from unmatched bird keypoints (``GenerateBirdPoints``/``CreateBirdPoints``,
+    ``:1622-1682``)."""
+    slot = m.n_kf
+    m = _write_kf(m, slot, f, Tcw, False, frame_id)
+    F = f.uv.shape[0]
+    FB = f.bird_uv.shape[0]
+    P = m.mp_pos.shape[0]
+    PB = m.bp_pos.shape[0]
+
+    # front observations for matched features
+    fok = (assoc.mp_idx >= 0) & f.kp_valid
+    pid = jnp.clip(assoc.mp_idx, 0, P - 1)
+    feats = jnp.arange(F, dtype=jnp.int32)
+    m = m._replace(kf_mp=m.kf_mp.at[slot].set(jnp.where(fok, assoc.mp_idx, -1)))
+    m = ms.add_observation(m, pid, jnp.full(F, slot, jnp.int32), feats, fok)
+    # found/visible bookkeeping
+    m = m._replace(mp_found=m.mp_found.at[jnp.where(fok, pid, P - 1)].add(fok.astype(jnp.int32)))
+
+    # bird: matched -> observations; unmatched valid bird kp -> new bird points
+    bok = (assoc.bp_idx >= 0) & f.bird_kp_valid
+    bid = jnp.clip(assoc.bp_idx, 0, PB - 1)
+    bfeats = jnp.arange(FB, dtype=jnp.int32)
+    m = ms.add_bird_observation(m, bid, jnp.full(FB, slot, jnp.int32), bfeats, bok)
+
+    new_bird = f.bird_kp_valid & (assoc.bp_idx < 0)
+    Twc = se3.inverse(Tcw)
+    bp_world = se3.transform(Twc, f.bird_cam)
+    start = m.n_bp
+    order = jnp.cumsum(new_bird.astype(jnp.int32)) - 1
+    dest = jnp.where(new_bird, jnp.clip(start + order, 0, PB - 1), PB - 1)
+    can = new_bird & (start + order < PB)
+    m = m._replace(
+        bp_pos=m.bp_pos.at[dest].set(jnp.where(can[:, None], bp_world, m.bp_pos[dest])),
+        bp_desc=m.bp_desc.at[dest].set(jnp.where(can[:, None], f.bird_desc, m.bp_desc[dest])),
+        bp_valid=m.bp_valid.at[dest].set(jnp.where(can, True, m.bp_valid[dest])),
+        bp_ref_kf=m.bp_ref_kf.at[dest].set(jnp.where(can, slot, m.bp_ref_kf[dest])),
+        n_bp=jnp.minimum(start + jnp.sum(new_bird.astype(jnp.int32)), PB),
+        kf_bird_mp=m.kf_bird_mp.at[slot].set(
+            jnp.where(bok, assoc.bp_idx, jnp.where(can, dest, -1))),
+    )
+    m = ms.add_bird_observation(m, dest, jnp.full(FB, slot, jnp.int32), bfeats, can)
+    return m
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def triangulate_new_points(
+    m: ms.MapState, new_kf, ref_kf, cfg: SystemConfig,
+) -> ms.MapState:
+    """``LocalMapping::CreateNewMapPoints`` (``LocalMapping.cc:231-476``), reduced
+    to the strongest neighbor pair: match unassociated features of the new KF
+    against the reference KF (window from projected parallax is replaced by a
+    generous search window + epipolar-style post-gates inside ``triangulate``)."""
+    F = m.kf_uv.shape[1]
+    P = m.mp_pos.shape[0]
+    d1 = desc_pm1_from_packed(m.kf_desc[new_kf])
+    d2 = desc_pm1_from_packed(m.kf_desc[ref_kf])
+    un1 = m.kf_kp_valid[new_kf] & (m.kf_mp[new_kf] < 0)
+    un2 = m.kf_kp_valid[ref_kf] & (m.kf_mp[ref_kf] < 0)
+    compat = matcher.window_mask(m.kf_uv[new_kf], m.kf_uv[ref_kf], 120.0)
+    compat = compat & un1[:, None] & un2[None, :]
+    res = matcher.match(d1, d2, compat, max_dist=float(cfg.matcher.th_low), ratio=0.8)
+    res = matcher.resolve_duplicates(res, F)
+    f2 = jnp.clip(res.idx, 0, F - 1)
+    tri = triangulate(
+        cfg.camera, m.kf_Tcw[new_kf], m.kf_Tcw[ref_kf],
+        m.kf_uv[new_kf], m.kf_uv[ref_kf][f2],
+        max_reproj_err=5.991, min_parallax_cos=0.9998,
+    )
+    ok = res.ok & tri.valid
+    start = m.n_mp
+    order = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    dest = jnp.where(ok, jnp.clip(start + order, 0, P - 1), P - 1)
+    can = ok & (start + order < P)
+    m = m._replace(
+        mp_pos=m.mp_pos.at[dest].set(jnp.where(can[:, None], tri.Xw, m.mp_pos[dest])),
+        mp_desc=m.mp_desc.at[dest].set(jnp.where(can[:, None], m.kf_desc[new_kf], m.mp_desc[dest])),
+        mp_valid=m.mp_valid.at[dest].set(jnp.where(can, True, m.mp_valid[dest])),
+        mp_ref_kf=m.mp_ref_kf.at[dest].set(jnp.where(can, new_kf, m.mp_ref_kf[dest])),
+        mp_first_kf=m.mp_first_kf.at[dest].set(jnp.where(can, new_kf, m.mp_first_kf[dest])),
+        n_mp=jnp.minimum(start + jnp.sum(ok.astype(jnp.int32)), P),
+        kf_mp=m.kf_mp.at[new_kf].set(jnp.where(can, dest, m.kf_mp[new_kf]))
+                     .at[ref_kf].set(m.kf_mp[ref_kf].at[jnp.where(can, f2, F - 1)].set(
+                         jnp.where(can, dest, m.kf_mp[ref_kf][jnp.where(can, f2, F - 1)]))),
+    )
+    feats1 = jnp.arange(F, dtype=jnp.int32)
+    m = ms.add_observation(m, dest, jnp.full(F, new_kf, jnp.int32), feats1, can)
+    m = ms.add_observation(m, dest, jnp.full(F, ref_kf, jnp.int32), f2, can)
+    return m
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def local_ba(m: ms.MapState, cfg: SystemConfig, center_kf) -> ms.MapState:
+    """``LocalBundleAdjustmentWithOdom`` (``Optimizer.cc:2137-2495``) over the
+    covisibility window of ``center_kf``: window KFs optimized (isInit fixed),
+    other observers fixed, front + bird + odometry chain/skip factors."""
+    cap = cfg.capacity
+    K = m.K
+    C = ms.covisibility_counts(m)
+    w = jnp.where(m.kf_valid, C[center_kf], -1)
+    w = w.at[center_kf].set(jnp.iinfo(jnp.int32).max)
+    # top local KFs by covisibility (always includes center)
+    _, local_idx = jax.lax.top_k(w, cap.max_local_kfs)
+    is_local = jnp.zeros((K,), bool).at[local_idx].set(True) & m.kf_valid & (w[jnp.arange(K)] > 0)
+    is_local = is_local.at[center_kf].set(True)
+
+    # points seen by local KFs
+    pt_in = jnp.any(is_local[m.obs_kf] & m.obs_valid, axis=1) & m.mp_valid
+    bpt_in = jnp.any(is_local[m.bobs_kf] & m.bobs_valid, axis=1) & m.bp_valid
+
+    # fixed KFs: observers of those points that are not local, plus isInit
+    obs_cnt = jnp.zeros((K,), jnp.int32).at[m.obs_kf].add(
+        (m.obs_valid & pt_in[:, None]).astype(jnp.int32))
+    observer = obs_cnt > 0
+    fixed = (observer & ~is_local) | (is_local & m.kf_is_init) | ~m.kf_valid
+    active = is_local | observer
+
+    lut = inv_level_sigma2_lut(cfg)
+    # front blocks: gather uv / sigma per (kf, feat) observation pair
+    oct_f = m.kf_octave[m.obs_kf, m.obs_feat]          # (P, M)
+    uv = m.kf_uv[m.obs_kf, m.obs_feat]                 # (P, M, 2)
+    front = PointBlocks(
+        Xw=m.mp_pos,
+        kf_idx=m.obs_kf,
+        meas=uv,
+        inv_sigma2=lut[jnp.clip(oct_f, 0, lut.shape[0] - 1)],
+        valid=m.obs_valid & active[m.obs_kf],
+        point_valid=pt_in,
+    )
+    oct_b = m.kf_bird_octave[m.bobs_kf, m.bobs_feat]   # (PB, MB)
+    xc = m.kf_bird_cam[m.bobs_kf, m.bobs_feat]         # (PB, MB, 3)
+    bird = PointBlocks(
+        Xw=m.bp_pos,
+        kf_idx=m.bobs_kf,
+        meas=xc,
+        inv_sigma2=lut[jnp.clip(oct_b, 0, lut.shape[0] - 1)],
+        valid=m.bobs_valid & active[m.bobs_kf],
+        point_valid=bpt_in,
+    )
+
+    # odometry edges between consecutive local KFs (chain + skip1 + skip2)
+    ba = cfg.ba
+    flags = cfg.flags
+    edges_i, edges_j, infos = [], [], []
+    if flags.tight_couple:
+        slots = jnp.arange(K, dtype=jnp.int32)
+        for skip, info in ((1, ba.odom_info_chain * ba.w_pose),
+                           (2, ba.odom_info_skip1),
+                           (3, ba.odom_info_skip2 * ba.w_pose)):
+            if skip > 1 and not flags.tight_couple2:
+                continue
+            edges_i.append(slots[:-skip])
+            edges_j.append(slots[skip:])
+            infos.append(jnp.full(K - skip, info, jnp.float32))
+    ei = jnp.concatenate(edges_i)
+    ej = jnp.concatenate(edges_j)
+    einfo = jnp.concatenate(infos)
+    ev = is_local[ei] & is_local[ej] & m.kf_valid[ei] & m.kf_valid[ej]
+    T_meas = jax.vmap(lambda a, b: odo.preintegrate_cam(cfg.extrinsics, m.kf_odom[a], m.kf_odom[b]))(ei, ej)
+    odom_edges = OdomEdges(ei, ej, T_meas, einfo, ev)
+
+    out = bundle_adjust(cfg.camera, ba, m.kf_Tcw, fixed, front, bird, odom_edges)
+    # write back; drop observations classified as outliers
+    return m._replace(
+        kf_Tcw=out.poses,
+        mp_pos=jnp.where(pt_in[:, None], out.front_Xw, m.mp_pos),
+        bp_pos=jnp.where(bpt_in[:, None], out.bird_Xw, m.bp_pos),
+        obs_valid=jnp.where(front.valid, out.front_inlier, m.obs_valid),
+        bobs_valid=jnp.where(bird.valid, out.bird_inlier, m.bobs_valid),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def cull_points(m: ms.MapState, cfg: SystemConfig) -> ms.MapState:
+    """``MapPointCulling`` (``LocalMapping.cc:194-229``): drop points with
+    found/visible ratio < 0.25 or with < 2 observations a few KFs after birth."""
+    ratio = m.mp_found.astype(jnp.float32) / jnp.maximum(m.mp_visible.astype(jnp.float32), 1.0)
+    nobs = ms.point_obs_count(m)
+    mature = (m.n_kf - m.mp_first_kf) >= 2
+    keep = m.mp_valid & (ratio >= 0.25) & (~mature | (nobs >= 2))
+    return m._replace(mp_valid=keep, obs_valid=m.obs_valid & keep[:, None])

@@ -188,10 +188,21 @@ def bundle_adjust(
     odom: OdomEdges,
     n_iters_1: Optional[int] = None,
     n_iters_2: Optional[int] = None,
+    axis_name: Optional[str] = None,
 ) -> BAResult:
     """Two-stage LM like the reference local BA (5 iters, outlier re-gate,
     10 more without outliers, ``Optimizer.cc:2511-2572``), then final
-    classification (``:2574-2610``)."""
+    classification (``:2574-2610``).
+
+    Distributed mode (``axis_name`` set, called under ``shard_map``): the point
+    blocks are sharded along their leading axis across the mesh axis; the
+    per-shard reduced camera contributions (Hcc, bc) and the total chi2 are
+    ``psum``-combined over ICI; poses and the dense reduced solve are
+    replicated; landmark back-substitution stays shard-local.  This is the
+    keyframe/point-block Schur reduction of SURVEY.md §7 step 7."""
+
+    def _ax_sum(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
     it1 = ba.local_ba_iters_1 if n_iters_1 is None else n_iters_1
     it2 = ba.local_ba_iters_2 if n_iters_2 is None else n_iters_2
     K = poses0.shape[0]
@@ -205,7 +216,9 @@ def bundle_adjust(
         _, _, _, _, c2f = _family_terms(cam, poses, fb, ba.w_front, ba.huber_delta, use_huber, f_act, True)
         _, _, _, _, c2b = _family_terms(None, poses, bb, ba.w_bird, ba.huber_delta, use_huber, b_act, False)
         _, _, c2o = _odom_terms(K, poses, odom, ba.w_pose)
-        return _chi2_total(c2f, f_act, c2b, b_act, c2o, ba.huber_delta, use_huber)
+        # family chi2 is shard-local (psum); odometry edges are replicated
+        fam = _chi2_total(c2f, f_act, c2b, b_act, jnp.zeros((0,)), ba.huber_delta, use_huber)
+        return _ax_sum(fam) + jnp.sum(c2o)
 
     def lm_stage(poses, fXw, bXw, f_act, b_act, n_iters, use_huber):
         f_actf = f_act.astype(jnp.float32)
@@ -220,8 +233,8 @@ def bundle_adjust(
             Hcc_f, bc_f, Hppi_f, bp_f, Hcp_f = _accumulate_family(K, poses, e_f, Jc_f, Jp_f, w_f, front.kf_idx, lam)
             Hcc_b, bc_b, Hppi_b, bp_b, Hcp_b = _accumulate_family(K, poses, e_b, Jc_b, Jp_b, w_b, bird.kf_idx, lam)
             Hcc_o, bc_o, _ = _odom_terms(K, poses, odom, ba.w_pose)
-            Hcc = Hcc_f + Hcc_b + Hcc_o
-            bc = bc_f + bc_b + bc_o
+            Hcc = _ax_sum(Hcc_f + Hcc_b) + Hcc_o
+            bc = _ax_sum(bc_f + bc_b) + bc_o
             dxc = _solve_reduced(Hcc, bc, fixed, lam)
             # back-substitute landmarks: dx_p = Hpp^-1 (b_p - Hpc dx_c)
             def backsub(Hppi, bp, Hcp, kf_idx):

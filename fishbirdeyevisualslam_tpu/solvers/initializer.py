@@ -136,9 +136,10 @@ def _census(cam, R, t, uv1, uv2, valid, sigma2: float):
         cam, Tcw1, Tcw2, uv1, uv2,
         max_reproj_err=4.0 * sigma2, min_parallax_cos=0.99998,
     )
-    good = tri.valid & valid
-    n_good = jnp.sum(good.astype(jnp.int32))
-    return n_good, good, tri
+    # census counts low-parallax points too (CheckRT's nGood); only the
+    # triangulated mask requires parallax
+    n_good = jnp.sum((tri.geom_ok & valid).astype(jnp.int32))
+    return n_good, tri.valid & valid, tri
 
 
 def initialize(

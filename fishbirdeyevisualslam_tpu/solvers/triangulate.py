@@ -18,7 +18,10 @@ from fishbirdeyevisualslam_tpu.geometry import se3
 
 class TriangulationResult(NamedTuple):
     Xw: jnp.ndarray       # (N, 3) world points
-    valid: jnp.ndarray    # (N,) bool
+    valid: jnp.ndarray    # (N,) bool — all gates including parallax
+    geom_ok: jnp.ndarray  # (N,) bool — depth/reproj/finite gates only (CheckRT's
+                          # nGood counts these; low-parallax points are counted
+                          # good but not triangulated)
     parallax: jnp.ndarray # (N,) cos(parallax angle)
 
 
@@ -89,4 +92,5 @@ def triangulate(
 
     e_ok = (reproj_err(p1, uv1) < max_reproj_err) & (reproj_err(p2, uv2) < max_reproj_err)
     finite = jnp.all(jnp.isfinite(Xw), axis=-1)
-    return TriangulationResult(Xw, w_ok & z_ok & par_ok & e_ok & finite, cosp)
+    geom_ok = w_ok & z_ok & e_ok & finite
+    return TriangulationResult(Xw, geom_ok & par_ok, geom_ok, cosp)

@@ -15,3 +15,7 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: XLA CPU programs here are large (8-level extractors,
+# 15-iteration BA) and identical across test runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/fbev_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
