@@ -249,6 +249,8 @@ def make_trajectory(n_frames=60, kind="arc", step=0.35, seed=0):
             dth = 0.008
         elif kind == "s":
             dth = 0.012 * np.sin(i / 12.0)
+        elif kind == "circle":
+            dth = 2 * np.pi / n_frames  # closes a full loop
         else:
             dth = 0.0
         th += dth

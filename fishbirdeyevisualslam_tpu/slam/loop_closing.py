@@ -1,0 +1,248 @@
+"""Loop detection and correction + relocalization.
+
+Maps the reference's LoopClosing thread (``src/LoopClosing.cc``) and the
+KeyFrameDatabase (``src/KeyFrameDatabase.cc``) onto the functional map state:
+
+  * ``detect_loop``        — BoW scores against all KFs, covisible-neighbor
+                             min-score gate, candidate exclusion of the current
+                             covisible group (``DetectLoop``, ``LoopClosing.cc:
+                             106-232``); the 3x-consecutive consistency check is
+                             host state in ``LoopCloser``.
+  * ``compute_loop_transform`` — node-gated descriptor match between the two
+                             KFs' features, lifted to 3D-3D map-point pairs, and
+                             a fixed-scale Horn RANSAC (``ComputeSim3``,
+                             ``:234-403``; ``bFixScale`` -> SE3).
+  * ``correct_loop``       — seed corrected poses for the current covisible
+                             group, SE3 pose-graph optimization over the
+                             essential graph with the loop edge, landmark
+                             transport by reference-KF correction (front AND
+                             bird, ``CorrectLoop`` ``:405-614``), then full
+                             global BA with odometry factors
+                             (``RunGlobalBundleAdjustment``, ``:674-841``).
+  * ``relocalize``         — BoW candidates + node-gated matching + RANSAC PnP
+                             (``Tracking::Relocalization``, ``Tracking.cc:
+                             2231-2392``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fishbirdeyevisualslam_tpu.config import SystemConfig
+from fishbirdeyevisualslam_tpu.geometry import se3, odometry as odo
+from fishbirdeyevisualslam_tpu.ops import bow as bow_ops
+from fishbirdeyevisualslam_tpu.ops import matcher
+from fishbirdeyevisualslam_tpu.slam import map_state as ms
+from fishbirdeyevisualslam_tpu.slam.frame import desc_pm1_from_packed, inv_level_sigma2_lut
+from fishbirdeyevisualslam_tpu.solvers.ba import PointBlocks, OdomEdges, bundle_adjust
+from fishbirdeyevisualslam_tpu.solvers.pose_graph import (
+    optimize_pose_graph, carry_points, build_pose_graph_edges,
+)
+from fishbirdeyevisualslam_tpu.solvers.sim3_solver import ransac_sim3
+from fishbirdeyevisualslam_tpu.solvers.pnp import ransac_pnp
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def detect_loop_scores(m: ms.MapState, cur_kf, cfg: SystemConfig):
+    """Returns (scores (K,), min_score, candidate_mask) — BoW scores of the
+    current KF against all others, the reference's covisible min-score, and the
+    eligibility mask (valid, not covisible, not temporally adjacent)."""
+    K = m.K
+    words = m.kf_words[cur_kf]
+    valid = m.kf_kp_valid[cur_kf]
+    scores = bow_ops.score_against_keyframes(words, valid, m.kf_words, m.kf_kp_valid)
+    C = ms.covisibility_counts(m)
+    covis = C[cur_kf] > 0
+    # min score among covisible neighbors (DetectLoop's baseline)
+    neigh_scores = jnp.where(covis & m.kf_valid, scores, jnp.inf)
+    min_score = jnp.minimum(jnp.min(neigh_scores), 1.0)
+    idx = jnp.arange(K)
+    eligible = m.kf_valid & ~covis & (idx != cur_kf) & (jnp.abs(idx - cur_kf) > 10)
+    return scores, min_score, eligible
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def compute_loop_transform(m: ms.MapState, cur_kf, cand_kf, cfg: SystemConfig, key):
+    """3D-3D alignment between the map points of two KFs.
+
+    Returns (T_correction (7,), n_inliers, success): T maps current-drifted
+    world coords onto loop-consistent ones, estimated from matched map points
+    (fixed scale; ``Sim3Solver`` with bFixScale)."""
+    F = m.kf_uv.shape[1]
+    P = m.mp_pos.shape[0]
+    d1 = desc_pm1_from_packed(m.kf_desc[cur_kf])
+    d2 = desc_pm1_from_packed(m.kf_desc[cand_kf])
+    has1 = m.kf_kp_valid[cur_kf] & (m.kf_mp[cur_kf] >= 0)
+    has2 = m.kf_kp_valid[cand_kf] & (m.kf_mp[cand_kf] >= 0)
+    gate = bow_ops.node_gate_mask(
+        m.kf_words[cur_kf], has1, m.kf_words[cand_kf], has2)
+    res = matcher.match(d1, d2, gate, max_dist=50.0, ratio=0.75)
+    res = matcher.resolve_duplicates(res, F)
+    pid1 = jnp.clip(m.kf_mp[cur_kf], 0, P - 1)
+    pid2 = jnp.clip(m.kf_mp[cand_kf][jnp.clip(res.idx, 0, F - 1)], 0, P - 1)
+    ok = res.ok & m.mp_valid[pid1] & m.mp_valid[pid2]
+    p_cur = m.mp_pos[pid1]   # positions in drifted world
+    p_loop = m.mp_pos[pid2]  # positions in loop-consistent world
+    out = ransac_sim3(p_loop, p_cur, ok, key, inlier_thresh=0.3, min_inliers=20,
+                      fix_scale=cfg.flags.fix_scale)
+    from fishbirdeyevisualslam_tpu.geometry import sim3 as sim3_mod
+    T_corr = sim3_mod.to_se3(out.S12)
+    return T_corr, out.n_inliers, out.success
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def correct_loop(m: ms.MapState, cur_kf, loop_kf, T_corr, cfg: SystemConfig):
+    """Apply the loop correction.  T_corr maps drifted-world to corrected-world
+    (world-level correction: X' = T_corr X, Tcw' = Tcw T_corr^-1 for the
+    current covisible group)."""
+    K = m.K
+    C = ms.covisibility_counts(m)
+    Cb = ms.bird_covisibility_counts(m)
+    poses_old = m.kf_Tcw
+
+    # seed: correct current KF + covisible group
+    group = ((C[cur_kf] > 0) | (jnp.arange(K) == cur_kf)) & m.kf_valid
+    T_corr_inv = se3.inverse(T_corr)
+    corrected = jax.vmap(lambda T: se3.compose(T, T_corr_inv))(poses_old)
+    poses_seed = jnp.where(group[:, None], corrected, poses_old)
+
+    # essential graph with a loop edge (measured relative pose AFTER correction:
+    # the loop constraint says cur and loop are now consistent)
+    loop_i = jnp.asarray([cur_kf], jnp.int32)
+    loop_j = jnp.asarray([loop_kf], jnp.int32)
+    loop_T = (se3.compose(poses_seed[cur_kf], se3.inverse(poses_seed[loop_kf])))[None]
+    edges = build_pose_graph_edges(
+        cfg, poses_old, C, Cb, m.kf_valid, loop_i, loop_j, loop_T,
+        min_feat=cfg.ba.essential_graph_min_feat,
+    )
+    fixed = (~m.kf_valid) | (jnp.arange(K) == loop_kf)
+    poses_new = optimize_pose_graph(cfg, poses_seed, fixed, edges)
+
+    # transport landmarks with their reference KF (front AND bird)
+    mp_ref = jnp.clip(m.mp_ref_kf, 0, K - 1)
+    bp_ref = jnp.clip(m.bp_ref_kf, 0, K - 1)
+    mp_new = carry_points(m.mp_pos, mp_ref, poses_old, poses_new)
+    bp_new = carry_points(m.bp_pos, bp_ref, poses_old, poses_new)
+    return m._replace(
+        kf_Tcw=poses_new,
+        mp_pos=jnp.where(m.mp_valid[:, None], mp_new, m.mp_pos),
+        bp_pos=jnp.where(m.bp_valid[:, None], bp_new, m.bp_pos),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def global_ba(m: ms.MapState, cfg: SystemConfig, n_iters: int = 10) -> ms.MapState:
+    """``GlobalBundleAdjustemntWithOdom`` over the whole map (front + bird +
+    odometry chain), first KF fixed as gauge."""
+    K = m.K
+    lut = inv_level_sigma2_lut(cfg)
+    oct_f = m.kf_octave[m.obs_kf, m.obs_feat]
+    uv = m.kf_uv[m.obs_kf, m.obs_feat]
+    front = PointBlocks(
+        Xw=m.mp_pos, kf_idx=m.obs_kf, meas=uv,
+        inv_sigma2=lut[jnp.clip(oct_f, 0, lut.shape[0] - 1)],
+        valid=m.obs_valid, point_valid=m.mp_valid,
+    )
+    oct_b = m.kf_bird_octave[m.bobs_kf, m.bobs_feat]
+    xc = m.kf_bird_cam[m.bobs_kf, m.bobs_feat]
+    bird = PointBlocks(
+        Xw=m.bp_pos, kf_idx=m.bobs_kf, meas=xc,
+        inv_sigma2=lut[jnp.clip(oct_b, 0, lut.shape[0] - 1)],
+        valid=m.bobs_valid, point_valid=m.bp_valid,
+    )
+    slots = jnp.arange(K, dtype=jnp.int32)
+    ei, ej = slots[:-1], slots[1:]
+    ev = m.kf_valid[ei] & m.kf_valid[ej]
+    T_meas = jax.vmap(lambda a, b: odo.preintegrate_cam(
+        cfg.extrinsics, m.kf_odom[a], m.kf_odom[b]))(ei, ej)
+    odom = OdomEdges(ei, ej, T_meas, jnp.full(K - 1, cfg.ba.odom_info_chain), ev)
+    fixed = (~m.kf_valid) | (slots == 0) | m.kf_is_init
+    out = bundle_adjust(cfg.camera, cfg.ba, m.kf_Tcw, fixed, front, bird, odom,
+                        n_iters_1=n_iters, n_iters_2=0)
+    return m._replace(
+        kf_Tcw=out.poses,
+        mp_pos=jnp.where(m.mp_valid[:, None], out.front_Xw, m.mp_pos),
+        bp_pos=jnp.where(m.bp_valid[:, None], out.bird_Xw, m.bp_pos),
+        obs_valid=m.obs_valid & out.front_inlier,
+        bobs_valid=m.bobs_valid & out.bird_inlier,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def relocalize_candidates(m: ms.MapState, frame_words, cfg: SystemConfig, frame_kp_valid):
+    """BoW scores of a lost frame against all KFs (DetectRelocalizationCandidates)."""
+    return bow_ops.score_against_keyframes(
+        frame_words, frame_kp_valid, m.kf_words, m.kf_kp_valid)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def relocalize_against(m: ms.MapState, f_desc_pm1, f_words, cfg: SystemConfig,
+                       f_uv, f_kp_valid, cand_kf, key):
+    """Match the lost frame against one candidate KF's map points (node-gated),
+    then RANSAC PnP.  Returns (Tcw, mp_idx per feature, n_inliers, success)."""
+    F = f_uv.shape[0]
+    P = m.mp_pos.shape[0]
+    d2 = desc_pm1_from_packed(m.kf_desc[cand_kf])
+    has2 = m.kf_kp_valid[cand_kf] & (m.kf_mp[cand_kf] >= 0)
+    gate = bow_ops.node_gate_mask(f_words, f_kp_valid, m.kf_words[cand_kf], has2)
+    res = matcher.match(f_desc_pm1, d2, gate, max_dist=50.0, ratio=0.75)
+    res = matcher.resolve_duplicates(res, F)
+    pid = jnp.clip(m.kf_mp[cand_kf][jnp.clip(res.idx, 0, F - 1)], 0, P - 1)
+    ok = res.ok & m.mp_valid[pid]
+    out = ransac_pnp(cfg.camera, m.mp_pos[pid], f_uv, ok, key)
+    mp_idx = jnp.where(ok & out.inliers, pid, -1)
+    return out.Tcw, mp_idx, out.n_inliers, out.success
+
+
+class LoopCloser:
+    """Host-side loop-closing state: consistency groups + cooldown
+    (the reference requires 3 consecutive consistent detections,
+    ``LoopClosing.cc:170-222``, and avoids re-closing immediately)."""
+
+    def __init__(self, cfg: SystemConfig, consistency_needed: int = 3):
+        self.cfg = cfg
+        self.consistency_needed = consistency_needed
+        self.streak_kf: int = -1
+        self.streak: int = 0
+        self.last_loop_kf_id: int = -1000
+        self._key = jax.random.PRNGKey(99)
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def process_keyframe(self, m: ms.MapState, cur_kf: int):
+        """Run detection on a new KF; returns (map, closed: bool)."""
+        cfg = self.cfg
+        if cur_kf - self.last_loop_kf_id < 10:
+            return m, False
+        scores, min_score, eligible = detect_loop_scores(m, jnp.int32(cur_kf), cfg)
+        scores = np.asarray(jnp.where(eligible, scores, -1.0))
+        best = int(scores.argmax())
+        if scores[best] < max(float(min_score), 0.015):
+            self.streak = 0
+            self.streak_kf = -1
+            return m, False
+        # consistency: the candidate neighborhood must persist across KFs
+        if self.streak_kf >= 0 and abs(best - self.streak_kf) <= 3:
+            self.streak += 1
+        else:
+            self.streak = 1
+        self.streak_kf = best
+        if self.streak < self.consistency_needed:
+            return m, False
+        T_corr, n_in, ok = compute_loop_transform(
+            m, jnp.int32(cur_kf), jnp.int32(best), cfg, self._next_key())
+        if not bool(ok):
+            return m, False
+        m = correct_loop(m, jnp.int32(cur_kf), jnp.int32(best), T_corr, cfg)
+        m = global_ba(m, cfg)
+        self.last_loop_kf_id = cur_kf
+        self.streak = 0
+        self.streak_kf = -1
+        return m, True

@@ -38,6 +38,7 @@ class MapState(NamedTuple):
     kf_desc: jnp.ndarray       # (K, F, 8) uint32
     kf_kp_valid: jnp.ndarray   # (K, F) bool
     kf_mp: jnp.ndarray         # (K, F) int32 map-point id per feature, -1 none
+    kf_words: jnp.ndarray      # (K, F) int32 BoW word id per feature (ops.bow)
     # per-KF bird keypoints
     kf_bird_cam: jnp.ndarray   # (K, FB, 3) camera-frame metric points
     kf_bird_desc: jnp.ndarray  # (K, FB, 8) uint32
@@ -93,6 +94,7 @@ def empty_map(cfg: SystemConfig) -> MapState:
         kf_desc=jnp.zeros((K, F, 8), jnp.uint32),
         kf_kp_valid=jnp.zeros((K, F), bool),
         kf_mp=jnp.full((K, F), -1, i32),
+        kf_words=jnp.zeros((K, F), i32),
         kf_bird_cam=jnp.zeros((K, FB, 3), f32),
         kf_bird_desc=jnp.zeros((K, FB, 8), jnp.uint32),
         kf_bird_octave=jnp.zeros((K, FB), i32),

@@ -22,13 +22,21 @@ from fishbirdeyevisualslam_tpu.config import SystemConfig
 from fishbirdeyevisualslam_tpu.geometry import se3, ipm, odometry as odo
 from fishbirdeyevisualslam_tpu.slam import map_state as ms
 from fishbirdeyevisualslam_tpu.slam import tracking as tr
+from fishbirdeyevisualslam_tpu.slam import loop_closing as lc
 from fishbirdeyevisualslam_tpu.slam.frame import Frame, build_frame
+from fishbirdeyevisualslam_tpu.ops import bow as bow_ops
 
 
 @dataclasses.dataclass
 class TrajectoryEntry:
+    """Per-frame pose stored RELATIVE to its reference keyframe (the reference
+    records Tcr and recomposes at export so later BA / loop corrections
+    propagate to the whole trajectory, ``Tracking.cc:752-768``,
+    ``System.cc:384-470``)."""
+
     timestamp: float
-    Tcw: np.ndarray           # (7,)
+    T_rel: np.ndarray         # (7,) Tcw_frame * inv(Tcw_refkf) at record time
+    ref_kf: int               # KF slot (-1: absolute, pre-map)
     is_keyframe: bool
     state: int
 
@@ -52,6 +60,10 @@ class SlamSystem:
         self.frame_id = -1
         self.n_lost_frames = 0
         self.trajectory: List[TrajectoryEntry] = []
+        self._odom_history = {}  # frame trajectory index -> odom (pre-init backfill)
+        self.loop_closer = lc.LoopCloser(cfg)
+        self.enable_loop_closing = True
+        self.n_loops_closed = 0
         self._key = jax.random.PRNGKey(7)
 
     # ------------------------------------------------------------------ utils
@@ -64,8 +76,14 @@ class SlamSystem:
         return se3.inverse(odo.preintegrate_cam(self.cfg.extrinsics, f1.odom, f2.odom))
 
     def _record(self, f: Frame, Tcw, is_kf: bool):
+        ref = self.last_kf_slot
+        if ref >= 0 and self.map is not None:
+            T_rel = se3.compose(jnp.asarray(Tcw), se3.inverse(self.map.kf_Tcw[ref]))
+        else:
+            T_rel = jnp.asarray(Tcw)
+        self._odom_history[len(self.trajectory)] = np.asarray(f.odom)
         self.trajectory.append(
-            TrajectoryEntry(float(f.timestamp), np.asarray(Tcw), is_kf, self.state)
+            TrajectoryEntry(float(f.timestamp), np.asarray(T_rel), ref, is_kf, self.state)
         )
 
     # ------------------------------------------------------------------ API
@@ -134,6 +152,19 @@ class SlamSystem:
         self.last_kf_slot = 1
         self.last_kf_frame_id = self.frame_id
         self.last_assoc = tr.TrackObs(m.kf_mp[1], m.kf_bird_mp[1])
+        # backfill the pre-init trajectory by odometry dead-reckoning relative to
+        # the first KF (those frames were recorded at identity; the vehicle may
+        # have moved meters before two-view init succeeded)
+        ref_odom = self.ref_frame.odom
+        for idx, e in enumerate(self.trajectory):
+            if e.ref_kf < 0:
+                frame_odom = self._odom_history.get(idx)
+                if frame_odom is None:
+                    continue
+                Tcw_i = odo.motion_prior_Tcw(
+                    cfg.extrinsics, m.kf_Tcw[0], ref_odom, jnp.asarray(frame_odom))
+                e.T_rel = np.asarray(se3.compose(Tcw_i, se3.inverse(m.kf_Tcw[0])))
+                e.ref_kf = 0
         self.ref_kf_tracked = int(jnp.sum((m.kf_mp[1] >= 0)))
         Tcw = m.kf_Tcw[1]
         self._record(f, Tcw, True)
@@ -188,13 +219,19 @@ class SlamSystem:
         assoc = tr.TrackObs(mp_idx, bp_idx)
         out2 = tr.pose_opt_step(m, f, assoc, cfg, Tcw)
         n_in = int(out2.n_inliers)
-        # visible bookkeeping for culling
-        self.map = m._replace(
-            mp_visible=m.mp_visible + (vis2 & pt_local).astype(jnp.int32)
-        )
         assoc = tr.TrackObs(
             jnp.where(out2.front_inlier, assoc.mp_idx, -1),
             jnp.where(out2.bird_inlier, assoc.bp_idx, -1),
+        )
+        # found/visible bookkeeping for culling: visible when in the local-map
+        # frustum this frame, found when a pose-opt inlier (the reference's
+        # IncreaseVisible/IncreaseFound per-frame counters, MapPoint.cc:224-240)
+        P = m.mp_pos.shape[0]
+        found_pid = jnp.clip(assoc.mp_idx, 0, P - 1)
+        self.map = m._replace(
+            mp_visible=m.mp_visible + (vis2 & pt_local).astype(jnp.int32),
+            mp_found=m.mp_found.at[jnp.where(assoc.mp_idx >= 0, found_pid, P - 1)].add(
+                (assoc.mp_idx >= 0).astype(jnp.int32)),
         )
         Tcw = out2.Tcw
 
@@ -223,8 +260,14 @@ class SlamSystem:
             new_slot = int(m.n_kf)
             m = tr.insert_keyframe(m, f, assoc, Tcw, cfg, jnp.int32(self.frame_id))
             m = tr.triangulate_new_points(m, jnp.int32(new_slot), jnp.int32(self.last_kf_slot), cfg)
+            m = tr.fuse_neighbors(m, jnp.int32(new_slot), jnp.int32(self.last_kf_slot), cfg)
             m = tr.cull_points(m, cfg)
             m = tr.local_ba(m, cfg, jnp.int32(new_slot))
+            m = tr.cull_keyframes(m, cfg, jnp.int32(new_slot - 2))
+            if self.enable_loop_closing:
+                m, closed = self.loop_closer.process_keyframe(m, new_slot)
+                if closed:
+                    self.n_loops_closed += 1
             self.map = m
             Tcw = m.kf_Tcw[new_slot]
             self.last_kf_slot = new_slot
@@ -253,6 +296,26 @@ class SlamSystem:
             outb = tr.pose_opt_step(m, f, bird_assoc, cfg, Tcw_pred)
             if int(outb.bird_inlier.sum()) >= 10:
                 Tcw = outb.Tcw
+
+        # relocalization (DBoW-style candidates + PnP, Tracking.cc:2231-2392)
+        if int(m.n_kf) >= 2:
+            words = bow_ops.word_ids(f.desc_pm1)
+            scores = lc.relocalize_candidates(m, words, cfg, f.kp_valid)
+            cand = int(jnp.argmax(jnp.where(m.kf_valid, scores, -1.0)))
+            if float(scores[cand]) > 0.05:
+                Tcw_r, mp_idx, n_in, ok = lc.relocalize_against(
+                    m, f.desc_pm1, words, cfg, f.uv, f.kp_valid,
+                    jnp.int32(cand), self._next_key())
+                if bool(ok):
+                    assoc = tr.TrackObs(mp_idx, jnp.full_like(self.last_assoc.bp_idx, -1))
+                    out = tr.pose_opt_step(m, f, assoc, cfg, Tcw_r)
+                    if int(out.n_inliers) >= 15:
+                        self.state = tr.OK
+                        self.last_assoc = tr.TrackObs(
+                            jnp.where(out.front_inlier, assoc.mp_idx, -1),
+                            jnp.full_like(self.last_assoc.bp_idx, -1))
+                        self._record(f, out.Tcw, False)
+                        return out.Tcw
 
         # attempt odometry-seeded re-initialization against the previous frame
         res = tr.match_for_init(self.last_frame, f, cfg)
@@ -343,9 +406,15 @@ class SlamSystem:
         return "\n".join(lines) + "\n"
 
     def frame_trajectory_Twb(self) -> np.ndarray:
-        """(N, 7) per-frame base poses for ATE evaluation."""
+        """(N, 7) per-frame base poses for ATE evaluation, composed against the
+        CURRENT keyframe poses so BA / loop corrections propagate."""
         out = []
+        kf_Tcw = None if self.map is None else np.asarray(self.map.kf_Tcw)
         for e in self.trajectory:
-            Twc = se3.inverse(jnp.asarray(e.Tcw))
+            if e.ref_kf >= 0 and kf_Tcw is not None:
+                Tcw = se3.compose(jnp.asarray(e.T_rel), jnp.asarray(kf_Tcw[e.ref_kf]))
+            else:
+                Tcw = jnp.asarray(e.T_rel)
+            Twc = se3.inverse(Tcw)
             out.append(np.asarray(ipm.Twb_from_Twc(self.cfg.extrinsics, Twc)))
         return np.stack(out) if out else np.zeros((0, 7))

@@ -31,6 +31,7 @@ import numpy as np
 from fishbirdeyevisualslam_tpu.config import SystemConfig
 from fishbirdeyevisualslam_tpu.geometry import se3, camera as cam_ops, odometry as odo
 from fishbirdeyevisualslam_tpu.ops import matcher
+from fishbirdeyevisualslam_tpu.ops import bow as bow_ops
 from fishbirdeyevisualslam_tpu.slam import map_state as ms
 from fishbirdeyevisualslam_tpu.slam.frame import Frame, desc_pm1_from_packed, inv_level_sigma2_lut
 from fishbirdeyevisualslam_tpu.solvers import initializer as init_mod
@@ -98,6 +99,7 @@ def _write_kf(m: ms.MapState, slot, f: Frame, Tcw, is_init, frame_id) -> ms.MapS
         kf_octave=m.kf_octave.at[slot].set(f.octave),
         kf_desc=m.kf_desc.at[slot].set(f.desc),
         kf_kp_valid=m.kf_kp_valid.at[slot].set(f.kp_valid),
+        kf_words=m.kf_words.at[slot].set(bow_ops.word_ids(f.desc_pm1)),
         kf_bird_cam=m.kf_bird_cam.at[slot].set(f.bird_cam),
         kf_bird_desc=m.kf_bird_desc.at[slot].set(f.bird_desc),
         kf_bird_octave=m.kf_bird_octave.at[slot].set(f.bird_octave),
@@ -365,8 +367,24 @@ def triangulate_new_points(
     d2 = desc_pm1_from_packed(m.kf_desc[ref_kf])
     un1 = m.kf_kp_valid[new_kf] & (m.kf_mp[new_kf] < 0)
     un2 = m.kf_kp_valid[ref_kf] & (m.kf_mp[ref_kf] < 0)
-    compat = matcher.window_mask(m.kf_uv[new_kf], m.kf_uv[ref_kf], 120.0)
-    compat = compat & un1[:, None] & un2[None, :]
+    # rotation-compensated search window: predict where each new-KF feature lands
+    # in the ref KF via the infinite-depth homography K R_ref<-new K^-1 (fast
+    # rotation otherwise shifts features by f*dtheta >> any fixed window)
+    cam = cfg.camera
+    R_new = se3.quat_to_matrix(m.kf_Tcw[new_kf, :4])
+    R_ref = se3.quat_to_matrix(m.kf_Tcw[ref_kf, :4])
+    R_rel = R_ref @ R_new.T
+    uv1 = m.kf_uv[new_kf]
+    rays = jnp.stack([
+        (uv1[:, 0] - cam.cx) / cam.fx,
+        (uv1[:, 1] - cam.cy) / cam.fy,
+        jnp.ones_like(uv1[:, 0]),
+    ], axis=-1) @ R_rel.T
+    z = jnp.where(jnp.abs(rays[:, 2]) < 1e-6, 1e-6, rays[:, 2])
+    uv_pred = jnp.stack([cam.fx * rays[:, 0] / z + cam.cx,
+                         cam.fy * rays[:, 1] / z + cam.cy], axis=-1)
+    compat = matcher.window_mask(uv_pred, m.kf_uv[ref_kf], 120.0)
+    compat = compat & un1[:, None] & un2[None, :] & (rays[:, 2] > 0)[:, None]
     res = matcher.match(d1, d2, compat, max_dist=float(cfg.matcher.th_low), ratio=0.8)
     res = matcher.resolve_duplicates(res, F)
     f2 = jnp.clip(res.idx, 0, F - 1)
@@ -476,6 +494,65 @@ def local_ba(m: ms.MapState, cfg: SystemConfig, center_kf) -> ms.MapState:
         obs_valid=jnp.where(front.valid, out.front_inlier, m.obs_valid),
         bobs_valid=jnp.where(bird.valid, out.bird_inlier, m.bobs_valid),
     )
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def fuse_neighbors(m: ms.MapState, new_kf, neighbor_kf, cfg: SystemConfig) -> ms.MapState:
+    """``LocalMapping::SearchInNeighbors`` (``LocalMapping.cc:478-558``), reduced
+    to its dominant effect: project the new KF's map points into a neighbor KF,
+    match against that KF's *unassociated* features, and register the missing
+    observations.  (Full point-merge of double-associations is deferred — the
+    duplicate pair keeps coexisting until culling removes the weaker one.)"""
+    F = m.kf_uv.shape[1]
+    P = m.mp_pos.shape[0]
+    # points owned by the new KF
+    pid = jnp.clip(m.kf_mp[new_kf], 0, P - 1)
+    has_pt = (m.kf_mp[new_kf] >= 0) & m.mp_valid[pid]
+    Xw = m.mp_pos[pid]
+    Tn = m.kf_Tcw[neighbor_kf]
+    pc = se3.transform(Tn, Xw)
+    uv_proj = cam_ops.project_pinhole(cfg.camera, pc)
+    vis = has_pt & (pc[:, 2] > 0.1)
+    # match new KF's point descriptors against neighbor's free features
+    free = m.kf_kp_valid[neighbor_kf] & (m.kf_mp[neighbor_kf] < 0)
+    compat = matcher.window_mask(uv_proj, m.kf_uv[neighbor_kf], 4.0)
+    compat = compat & vis[:, None] & free[None, :]
+    d_pts = desc_pm1_from_packed(m.mp_desc[pid])
+    d_nb = desc_pm1_from_packed(m.kf_desc[neighbor_kf])
+    res = matcher.match(d_pts, d_nb, compat, max_dist=float(cfg.matcher.th_low))
+    res = matcher.resolve_duplicates(res, F)
+    ok = res.ok & vis
+    feat_nb = jnp.clip(res.idx, 0, F - 1)
+    m = ms.add_observation(m, pid, jnp.full((F,), neighbor_kf, jnp.int32), feat_nb, ok)
+    m = m._replace(kf_mp=m.kf_mp.at[neighbor_kf].set(
+        m.kf_mp[neighbor_kf].at[jnp.where(ok, feat_nb, F - 1)].set(
+            jnp.where(ok, pid, m.kf_mp[neighbor_kf][jnp.where(ok, feat_nb, F - 1)]))))
+    return m
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def cull_keyframes(m: ms.MapState, cfg: SystemConfig, protect_from) -> ms.MapState:
+    """``LocalMapping::KeyFrameCulling`` (``LocalMapping.cc:656-729``): a KF is
+    redundant if >= 90% of its tracked points are observed by at least 3 other
+    KFs.  Protected: slots >= protect_from (recent), slot 0/1 (init pair),
+    isInit gauges."""
+    K = m.K
+    P = m.mp_pos.shape[0]
+    nobs = ms.point_obs_count(m)  # (P,)
+    pid = jnp.clip(m.kf_mp, 0, P - 1)             # (K, F)
+    tracked = (m.kf_mp >= 0) & m.mp_valid[pid]
+    redundant_pt = tracked & (nobs[pid] >= 4)     # seen by >= 3 others
+    n_tracked = jnp.sum(tracked.astype(jnp.int32), axis=1)
+    n_red = jnp.sum(redundant_pt.astype(jnp.int32), axis=1)
+    frac = n_red / jnp.maximum(n_tracked, 1)
+    idx = jnp.arange(K)
+    cullable = m.kf_valid & (frac > 0.9) & (n_tracked > 10) \
+        & (idx >= 2) & (idx < protect_from) & ~m.kf_is_init
+    keep = m.kf_valid & ~cullable
+    # drop observations from culled KFs
+    obs_keep = m.obs_valid & keep[m.obs_kf]
+    bobs_keep = m.bobs_valid & keep[m.bobs_kf]
+    return m._replace(kf_valid=keep, obs_valid=obs_keep, bobs_valid=bobs_keep)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

@@ -1,0 +1,72 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fishbirdeyevisualslam_tpu.config import SystemConfig
+from fishbirdeyevisualslam_tpu.geometry import se3
+from fishbirdeyevisualslam_tpu.solvers.ba import OdomEdges
+from fishbirdeyevisualslam_tpu.solvers.pose_graph import (
+    optimize_pose_graph, carry_points,
+)
+
+CFG = SystemConfig()
+
+
+def circle_poses(K=12, radius=5.0):
+    """Ground-truth camera poses around a circle (Tcw)."""
+    poses = []
+    for k in range(K):
+        th = 2 * np.pi * k / K
+        # camera at (r cos, r sin, 0) yaw-rotated about z
+        q = se3.so3_exp_quat(jnp.array([0.0, 0.0, th]))
+        t = jnp.array([radius * np.cos(th), radius * np.sin(th), 0.0], jnp.float32)
+        Twc = se3.make(q, t)
+        poses.append(se3.inverse(Twc))
+    return jnp.stack(poses)
+
+
+class TestPoseGraph:
+    def test_loop_closure_distributes_drift(self):
+        K = 12
+        gt = circle_poses(K)
+        # measured relative poses = ground truth (odometry-grade)
+        rel = jax.vmap(lambda a, b: se3.compose(gt[a], se3.inverse(gt[b])))(
+            jnp.arange(K - 1), jnp.arange(1, K))
+        # drifted estimates: integrate rel with injected per-step error
+        drift = se3.exp(jnp.array([0.0, 0.0, 0.01, 0.03, 0.0, 0.0]))
+        poses = [gt[0]]
+        for k in range(K - 1):
+            noisy_rel = se3.compose(drift, rel[k])
+            poses.append(se3.compose(se3.inverse(noisy_rel), poses[-1]))
+        poses = jnp.stack(poses)
+        err_before = np.abs(np.asarray(se3.log(
+            se3.compose(poses[-1], se3.inverse(gt[-1]))))).max()
+
+        # edges: chain with the TRUE relative measurements + loop edge (0, K-1)
+        ei = jnp.concatenate([jnp.arange(K - 1), jnp.array([K - 1])]).astype(jnp.int32)
+        ej = jnp.concatenate([jnp.arange(1, K), jnp.array([0])]).astype(jnp.int32)
+        T_loop = se3.compose(gt[K - 1], se3.inverse(gt[0]))
+        T_meas = jnp.concatenate([rel, T_loop[None]], axis=0)
+        edges = OdomEdges(ei, ej, T_meas, jnp.full(K, 100.0), jnp.ones(K, bool))
+        fixed = jnp.zeros(K, bool).at[0].set(True)
+        out = optimize_pose_graph(CFG, poses, fixed, edges, n_iters=30)
+        err_after = np.abs(np.asarray(se3.log(
+            se3.compose(out[-1], se3.inverse(gt[-1]))))).max()
+        assert err_after < 0.3 * err_before, (err_before, err_after)
+
+    def test_carry_points(self):
+        K = 4
+        poses_old = jnp.stack([se3.random_pose(jax.random.PRNGKey(i)) for i in range(K)])
+        corr = se3.exp(jnp.array([0.0, 0.1, 0.0, 0.5, -0.2, 0.1]))
+        # new poses: Tcw_new = Tcw_old * corr^-1  (world moved by corr)
+        poses_new = jax.vmap(lambda T: se3.compose(T, se3.inverse(corr)))(poses_old)
+        pts = jax.random.normal(jax.random.PRNGKey(9), (10, 3)) * 3.0
+        ref = jnp.zeros(10, jnp.int32)
+        out = carry_points(pts, ref, poses_old, poses_new)
+        expect = se3.transform(corr, pts)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-4)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
