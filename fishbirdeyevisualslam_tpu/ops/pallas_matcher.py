@@ -1,0 +1,170 @@
+"""Pallas TPU kernel: tiled XOR+popcount Hamming distance matrix.
+
+Two device strategies exist for ORB descriptor matching:
+
+  1. ``orb.hamming_matrix`` — expand packed bits to +/-1 bfloat16 and use the
+     MXU: D = (256 - A B^T) / 2.  Maximum throughput, but the expanded operands
+     are 16x larger than the packed uint32 descriptors.
+  2. this kernel — keep descriptors packed (N, 8) uint32 and compute
+     popcount(a XOR b) on VPU tiles, streaming (TA, 8) x (TB, 8) blocks through
+     VMEM.  Same result, 1/16th the operand bytes — the right choice when the
+     map descriptor store is large and HBM bandwidth is the limit.
+
+The kernel computes one (TILE_A, TILE_B) output block per grid step: the A-tile
+and B-tile live in VMEM, the XOR+popcount runs per 32-bit word with an unrolled
+8-word accumulation (VPU integer ops).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_A = 256
+TILE_B = 512
+
+
+def _hamming_kernel(a_ref, b_ref, out_ref):
+    # a_ref: (TILE_A, 8) uint32; b_ref: (TILE_B, 8) uint32
+    acc = jnp.zeros((a_ref.shape[0], b_ref.shape[0]), jnp.int32)
+    for w in range(8):  # unrolled over the 8 packed words
+        x = jax.lax.population_count(
+            jnp.bitwise_xor(a_ref[:, w][:, None], b_ref[:, w][None, :])
+        )
+        acc = acc + x.astype(jnp.int32)
+    out_ref[:, :] = acc.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def hamming_matrix_packed(desc_a, desc_b, interpret: bool = False):
+    """(Na, 8) x (Nb, 8) packed uint32 -> (Na, Nb) float32 Hamming distances.
+
+    Pads to tile multiples; padding rows produce garbage distances that callers
+    mask out via their validity masks (invalid descriptors are all-zero, giving
+    distance = popcount(b) — never a best match under masks).
+    """
+    na, nb = desc_a.shape[0], desc_b.shape[0]
+    pa = -(-na // TILE_A) * TILE_A
+    pb = -(-nb // TILE_B) * TILE_B
+    a = jnp.zeros((pa, 8), jnp.uint32).at[:na].set(desc_a)
+    b = jnp.zeros((pb, 8), jnp.uint32).at[:nb].set(desc_b)
+
+    grid = (pa // TILE_A, pb // TILE_B)
+    out = pl.pallas_call(
+        _hamming_kernel,
+        out_shape=jax.ShapeDtypeStruct((pa, pb), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_A, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_A, TILE_B), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(a, b)
+    return out[:na, :nb]
+
+
+# ---------------------------------------------------------------------------
+# Fused masked match: distances + window gate + running top-2 without ever
+# materializing the full distance matrix.
+# ---------------------------------------------------------------------------
+
+BIG = 1e9
+
+
+def _fused_match_kernel(a_ref, ua_ref, b_ref, ub_ref, r_ref, out_ref):
+    """Grid (i over A tiles, j over B tiles).  out block (TILE_A, 128):
+    col 0 = best distance, col 1 = second-best, col 2 = best index (as f32).
+    The out block for row-tile i is revisited across all j — running reduction
+    in VMEM (standard Pallas accumulation pattern)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :] = jnp.full_like(out_ref, BIG)
+        out_ref[:, 2] = jnp.full((out_ref.shape[0],), -1.0, out_ref.dtype)
+
+    ta = a_ref.shape[0]
+    tb = b_ref.shape[0]
+    acc = jnp.zeros((ta, tb), jnp.int32)
+    for w in range(8):
+        acc = acc + jax.lax.population_count(
+            jnp.bitwise_xor(a_ref[:, w][:, None], b_ref[:, w][None, :])
+        ).astype(jnp.int32)
+    d = acc.astype(jnp.float32)
+    # search-window gate (|du|, |dv| <= r); invalid B rows carry uv = +inf
+    r = r_ref[0]
+    du = jnp.abs(ua_ref[:, 0][:, None] - ub_ref[:, 0][None, :])
+    dv = jnp.abs(ua_ref[:, 1][:, None] - ub_ref[:, 1][None, :])
+    d = jnp.where((du <= r) & (dv <= r), d, BIG)
+
+    # tile-local best + second
+    t1 = jnp.min(d, axis=1)
+    ti = jnp.argmin(d, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ta, tb), 1)
+    d2m = jnp.where(col == ti[:, None], BIG, d)
+    t2 = jnp.min(d2m, axis=1)
+    t_idx = (ti + j * tb).astype(jnp.float32)
+
+    # merge with running (b1, b2, bi)
+    b1 = out_ref[:, 0]
+    b2 = out_ref[:, 1]
+    bi = out_ref[:, 2]
+    new_b1 = jnp.minimum(b1, t1)
+    take_new = t1 < b1
+    new_bi = jnp.where(take_new, t_idx, bi)
+    # second best = min of (the loser of b1 vs t1, b2, t2)
+    loser = jnp.where(take_new, b1, t1)
+    new_b2 = jnp.minimum(jnp.minimum(b2, t2), loser)
+    out_ref[:, 0] = new_b1
+    out_ref[:, 1] = new_b2
+    out_ref[:, 2] = new_bi
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_masked_match(desc_a, uv_a, desc_b, uv_b, valid_b, radius,
+                       interpret: bool = False):
+    """Fused masked nearest-descriptor search.
+
+    desc_a (Na, 8) uint32, uv_a (Na, 2); desc_b (Nb, 8), uv_b (Nb, 2),
+    valid_b (Nb,) bool; radius: scalar window.  Returns (best_dist (Na,),
+    second_dist (Na,), best_idx (Na,) int32).  The (Na, Nb) distance matrix is
+    never materialized in HBM — this is the speed-of-light version of
+    ``matcher.match`` for large maps.
+    """
+    na, nb = desc_a.shape[0], desc_b.shape[0]
+    pa = -(-na // TILE_A) * TILE_A
+    pb = -(-nb // TILE_B) * TILE_B
+    a = jnp.zeros((pa, 8), jnp.uint32).at[:na].set(desc_a)
+    b = jnp.zeros((pb, 8), jnp.uint32).at[:nb].set(desc_b)
+    ua = jnp.full((pa, 2), -1e6, jnp.float32).at[:na].set(uv_a.astype(jnp.float32))
+    ub = jnp.full((pb, 2), 1e6, jnp.float32).at[:nb].set(
+        jnp.where(valid_b[:, None], uv_b.astype(jnp.float32), 1e6))
+    r = jnp.asarray([radius], jnp.float32)
+
+    grid = (pa // TILE_A, pb // TILE_B)
+    out = pl.pallas_call(
+        _fused_match_kernel,
+        out_shape=jax.ShapeDtypeStruct((pa, 128), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_A, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_A, 2), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, 2), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_A, 128), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(a, ua, b, ub, r)
+    best = out[:na, 0]
+    second = out[:na, 1]
+    idx = out[:na, 2].astype(jnp.int32)
+    idx = jnp.where(best < BIG, idx, -1)
+    return best, second, idx

@@ -88,17 +88,37 @@ def distributed_bundle_adjust(
         front_inlier=P("pt"), bird_inlier=P("pt"),
     )
 
+    sharded = _jitted_sharded_ba(cfg, mesh, n_iters_1, n_iters_2, blk, rep_odom, out_spec)
+    return sharded(poses0, fixed, front, bird, odom)
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_sharded_ba_cached(cfg, mesh, n_iters_1, n_iters_2):
+    blk = PointBlocks(
+        Xw=P("pt"), kf_idx=P("pt"), meas=P("pt"), inv_sigma2=P("pt"),
+        valid=P("pt"), point_valid=P("pt"),
+    )
+    rep_odom = OdomEdges(i=P(), j=P(), T_meas=P(), info=P(), valid=P())
+    out_spec = BAResult(
+        poses=P(), front_Xw=P("pt"), bird_Xw=P("pt"),
+        front_inlier=P("pt"), bird_inlier=P("pt"),
+    )
     fn = functools.partial(
         bundle_adjust, cfg.camera, cfg.ba,
         n_iters_1=n_iters_1, n_iters_2=n_iters_2, axis_name="pt",
     )
-    sharded = shard_map(
+    # CRITICAL: shard_map must run under jit — eagerly it dispatches one
+    # multi-device program per primitive (observed ~100x compile blowup)
+    return jax.jit(shard_map(
         fn, mesh=mesh,
         in_specs=(P(), P(), blk, blk, rep_odom),
         out_specs=out_spec,
         check_rep=False,
-    )
-    return sharded(poses0, fixed, front, bird, odom)
+    ))
+
+
+def _jitted_sharded_ba(cfg, mesh, n_iters_1, n_iters_2, blk, rep_odom, out_spec):
+    return _jitted_sharded_ba_cached(cfg, mesh, n_iters_1, n_iters_2)
 
 
 def batched_pose_optimization(cfg: SystemConfig, mesh: Mesh, Tcw0_batch,

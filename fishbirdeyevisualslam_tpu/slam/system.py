@@ -61,6 +61,7 @@ class SlamSystem:
         self.n_lost_frames = 0
         self.trajectory: List[TrajectoryEntry] = []
         self._odom_history = {}  # frame trajectory index -> odom (pre-init backfill)
+        self.frame_times: List[float] = []  # per-frame wall time (CalExTime analog)
         self.loop_closer = lc.LoopCloser(cfg)
         self.enable_loop_closing = True
         self.n_loops_closed = 0
@@ -89,6 +90,8 @@ class SlamSystem:
     # ------------------------------------------------------------------ API
     def track(self, front_gray, bird_gray, bird_mask, odom, timestamp) -> np.ndarray:
         """Process one frame; returns the current Tcw estimate (7,)."""
+        import time as _time
+        _t0 = _time.perf_counter()
         self.frame_id += 1
         f = build_frame(
             jnp.asarray(front_gray, jnp.float32),
@@ -107,6 +110,7 @@ class SlamSystem:
             Tcw = self._track_lost(f)
         self.last_frame = f
         self.last_Tcw = Tcw
+        self.frame_times.append(_time.perf_counter() - _t0)
         return np.asarray(Tcw)
 
     # ---------------------------------------------------------------- states
@@ -194,6 +198,17 @@ class SlamSystem:
                 radius=jnp.float32(30.0), max_dist=jnp.float32(cfg.matcher.th_high),
             )
             n_mm = int(res.count)
+        if n_mm < 10:
+            # TrackReferenceKeyFrame fallback (Tracking.cc:1180-1244): BoW-gated
+            # match against the reference KF's map points, seeded from the prior
+            words = bow_ops.word_ids(f.desc_pm1)
+            Tcw_r, mp_idx_r, n_r, ok_r = lc.relocalize_against(
+                m, f.desc_pm1, words, cfg, f.uv, f.kp_valid,
+                jnp.int32(self.last_kf_slot), self._next_key())
+            if int(n_r) > n_mm:
+                res = tr.matcher.MatchResult(
+                    mp_idx_r, jnp.where(mp_idx_r >= 0, 0.0, tr.matcher.BIG), mp_idx_r >= 0)
+                n_mm = int(n_r)
         bmask = tr.bird_local_mask(m, cfg, Tcw_pred)
         bres = tr.match_bird_points(m, f, cfg, Tcw_pred, bmask)
         assoc = tr.TrackObs(res.idx, bres.idx)
@@ -404,6 +419,28 @@ class SlamSystem:
                 f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}"
             )
         return "\n".join(lines) + "\n"
+
+    def timing_stats(self) -> dict:
+        """Median/mean per-frame tracking time (the reference prints these at
+        exit, ``mono_encoder.cc:202-210``)."""
+        if not self.frame_times:
+            return {"median_s": 0.0, "mean_s": 0.0, "fps": 0.0}
+        t = np.sort(np.asarray(self.frame_times))
+        return {
+            "median_s": float(t[len(t) // 2]),
+            "mean_s": float(t.mean()),
+            "fps": float(1.0 / max(t.mean(), 1e-9)),
+        }
+
+    def keyframe_indices(self) -> np.ndarray:
+        """Source frame id per valid keyframe (``System::SaveKeyFrameIdx``,
+        ``System.cc:587-613``)."""
+        if self.map is None:
+            return np.zeros((0,), np.int32)
+        m = self.map
+        n = int(m.n_kf)
+        ids = [int(m.kf_frame_id[k]) for k in range(n) if bool(m.kf_valid[k])]
+        return np.asarray(ids, np.int32)
 
     def frame_trajectory_Twb(self) -> np.ndarray:
         """(N, 7) per-frame base poses for ATE evaluation, composed against the

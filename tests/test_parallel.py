@@ -23,20 +23,20 @@ CFG = SystemConfig()
 class TestDistributedBA:
     def test_matches_single_device(self):
         poses_true, poses0, fixed, front, bird, odom, _, _ = build_problem(
-            K=6, P=64, PB=16, M=4)
+            K=4, P=32, PB=8, M=3)
         ref = bundle_adjust(CAM, BA, poses0, fixed, front, bird, odom,
-                            n_iters_1=3, n_iters_2=2)
+                            n_iters_1=2, n_iters_2=1)
         mesh = make_mesh(n_pt=4, n_dp=1)
         out = distributed_bundle_adjust(CFG, mesh, poses0, fixed, front, bird, odom,
-                                        n_iters_1=3, n_iters_2=2)
+                                        n_iters_1=2, n_iters_2=1)
         np.testing.assert_allclose(
             np.asarray(out.poses), np.asarray(ref.poses), atol=2e-4)
         np.testing.assert_allclose(
-            np.asarray(out.front_Xw[:64]), np.asarray(ref.front_Xw), atol=2e-3)
+            np.asarray(out.front_Xw[:32]), np.asarray(ref.front_Xw), atol=2e-3)
 
     def test_8_way(self):
         poses_true, poses0, fixed, front, bird, odom, _, _ = build_problem(
-            K=6, P=64, PB=16, M=4)
+            K=4, P=32, PB=8, M=3)
         mesh = make_mesh(n_pt=8, n_dp=1)
         out = distributed_bundle_adjust(CFG, mesh, poses0, fixed, front, bird, odom,
                                         n_iters_1=2, n_iters_2=1)
@@ -50,7 +50,7 @@ class TestDistributedBA:
 
     def test_dp_pose_opt(self):
         rng = np.random.RandomState(0)
-        B, n, nb = 8, 64, 16
+        B, n, nb = 8, 32, 8
         mesh = make_mesh(n_pt=1, n_dp=8)
         from fishbirdeyevisualslam_tpu.geometry import camera
         Xw = jnp.asarray(rng.uniform(-5, 5, (B, n, 3)).astype(np.float32)
