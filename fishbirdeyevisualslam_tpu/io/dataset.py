@@ -1,0 +1,160 @@
+"""Dataset loading for the reference's directory layout.
+
+The reference driver (``Examples/Monocular/mono_encoder.cc:220-252``) reads two
+index files with identical format — ``groundtruth.txt`` (GT SE2 poses) and
+``associate.txt`` (wheel-odometry SE2 poses) — each line:
+
+    <timestamp> <x> <y> <theta> <image-stem>
+
+and resolves per-frame files as ``image/<stem>.jpg``, ``birdview/<stem>.jpg``,
+``mask/<stem>.jpg``, ``contourICPWrite/<stem>.bmp``, ``contourICP/<stem>.jpg``.
+The front image is masked, cropped to 1900x800 and half-sized
+(``mono_encoder.cc:144-158``); the bird mask is eroded and the vehicle footprint
+blanked (``:279-313``).
+
+Image decoding uses PGM natively (via the C++ prefetcher or numpy), PNG/JPG via
+matplotlib's imread if available; ``.npy`` arrays always work.  The synthetic
+renderer (`io/synthetic.py`) can export in this exact layout for round-trip
+testing (`export_sequence`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class DatasetIndex:
+    timestamps: np.ndarray     # (N,)
+    poses: np.ndarray          # (N, 3) x, y, theta
+    stems: List[str]
+
+
+def parse_index(path: str) -> DatasetIndex:
+    ts, poses, stems = [], [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.split()
+            ts.append(float(parts[0]))
+            poses.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            stems.append(parts[4] if len(parts) > 4 else "")
+    return DatasetIndex(np.asarray(ts), np.asarray(poses, np.float32), stems)
+
+
+def _imread_gray(path: str) -> np.ndarray:
+    if path.endswith(".npy"):
+        img = np.load(path)
+    elif path.endswith((".pgm", ".PGM")):
+        with open(path, "rb") as f:
+            data = f.read()
+        assert data[:2] == b"P5"
+        # header: magic, width, height, maxval (whitespace/comment separated)
+        tokens = []
+        i = 2
+        while len(tokens) < 3:
+            while i < len(data) and data[i : i + 1].isspace():
+                i += 1
+            if data[i : i + 1] == b"#":
+                while i < len(data) and data[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < len(data) and not data[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(data[i:j]))
+            i = j
+        i += 1
+        w, h, _ = tokens
+        img = np.frombuffer(data[i : i + w * h], np.uint8).reshape(h, w)
+    else:
+        import matplotlib.image as mpimg
+        img = mpimg.imread(path)
+        if img.dtype in (np.float32, np.float64):
+            img = img * 255.0
+    img = np.asarray(img, np.float32)
+    if img.ndim == 3:
+        img = img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
+    return img
+
+
+@dataclasses.dataclass
+class DatasetSequence:
+    """Iterates the reference layout, yielding ready-to-track frames."""
+
+    root: str
+    odom_index: DatasetIndex            # associate.txt
+    gt_index: Optional[DatasetIndex]    # groundtruth.txt (may be absent)
+    front_mask: Optional[np.ndarray] = None
+    crop: Optional[Tuple[int, int]] = (1900, 800)
+    downsample: int = 2
+    ext: str = ".jpg"
+
+    @classmethod
+    def open(cls, root: str, ext: str = ".jpg") -> "DatasetSequence":
+        odom = parse_index(os.path.join(root, "associate.txt"))
+        gt_path = os.path.join(root, "groundtruth.txt")
+        gt = parse_index(gt_path) if os.path.exists(gt_path) else None
+        return cls(root=root, odom_index=odom, gt_index=gt, ext=ext)
+
+    def __len__(self):
+        return len(self.odom_index.stems)
+
+    def frame(self, i: int):
+        stem = self.odom_index.stems[i]
+        front = _imread_gray(os.path.join(self.root, "image", stem + self.ext))
+        bird = _imread_gray(os.path.join(self.root, "birdview", stem + self.ext))
+        mask_path = os.path.join(self.root, "mask", stem + self.ext)
+        if os.path.exists(mask_path):
+            mask = _imread_gray(mask_path) > 127
+        else:
+            mask = np.ones_like(bird, bool)
+        # front preprocessing (mono_encoder.cc:144-158)
+        if self.front_mask is not None:
+            front = np.where(self.front_mask, front, 0.0)
+        if self.crop is not None:
+            cw, ch = self.crop
+            front = front[:ch, :cw]
+        if self.downsample > 1:
+            front = front[:: self.downsample, :: self.downsample]
+        return dict(
+            front=front.astype(np.float32),
+            bird=bird.astype(np.float32),
+            mask=mask,
+            odom=self.odom_index.poses[i],
+            gt=None if self.gt_index is None else self.gt_index.poses[i],
+            timestamp=float(self.odom_index.timestamps[i]),
+        )
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self.frame(i)
+
+
+def export_sequence(seq, root: str) -> None:
+    """Write a synthetic sequence (``io.synthetic.SyntheticSequence``) to disk in
+    the reference layout (npy images) for loader round-trip testing and for
+    driving the native prefetcher."""
+    for sub in ("image", "birdview", "mask"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    lines_odom, lines_gt = [], []
+    for i, fr in enumerate(seq.frames):
+        stem = f"{i:06d}"
+        np.save(os.path.join(root, "image", stem + ".npy"), fr["front"])
+        np.save(os.path.join(root, "birdview", stem + ".npy"), fr["bird"])
+        np.save(os.path.join(root, "mask", stem + ".npy"),
+                fr["mask"].astype(np.uint8) * 255)
+        o = seq.odom[i]
+        g = seq.gt[i]
+        lines_odom.append(f"{fr['timestamp']:.6f} {o[0]:.6f} {o[1]:.6f} {o[2]:.6f} {stem}")
+        lines_gt.append(f"{fr['timestamp']:.6f} {g[0]:.6f} {g[1]:.6f} {g[2]:.6f} {stem}")
+    with open(os.path.join(root, "associate.txt"), "w") as f:
+        f.write("\n".join(lines_odom) + "\n")
+    with open(os.path.join(root, "groundtruth.txt"), "w") as f:
+        f.write("\n".join(lines_gt) + "\n")

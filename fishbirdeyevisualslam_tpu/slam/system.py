@@ -277,6 +277,7 @@ class SlamSystem:
             m = tr.triangulate_new_points(m, jnp.int32(new_slot), jnp.int32(self.last_kf_slot), cfg)
             m = tr.fuse_neighbors(m, jnp.int32(new_slot), jnp.int32(self.last_kf_slot), cfg)
             m = tr.cull_points(m, cfg)
+            m = tr.update_point_stats(m, cfg)
             m = tr.local_ba(m, cfg, jnp.int32(new_slot))
             m = tr.cull_keyframes(m, cfg, jnp.int32(new_slot - 2))
             if self.enable_loop_closing:

@@ -556,6 +556,42 @@ def cull_keyframes(m: ms.MapState, cfg: SystemConfig, protect_from) -> ms.MapSta
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
+def update_point_stats(m: ms.MapState, cfg: SystemConfig) -> ms.MapState:
+    """``MapPoint::ComputeDistinctiveDescriptors`` + ``UpdateNormalAndDepth``
+    (``MapPoint.cc:242,330-399``): the point descriptor becomes the observation
+    descriptor with minimum median Hamming distance to the others; the normal is
+    the mean viewing direction from its observing keyframes."""
+    P, M = m.obs_kf.shape
+    v = m.obs_valid & m.mp_valid[:, None]                    # (P, M)
+    desc = m.kf_desc[m.obs_kf, m.obs_feat]                   # (P, M, 8) uint32
+    # pairwise Hamming among each point's observations (P, M, M)
+    x = jnp.bitwise_xor(desc[:, :, None, :], desc[:, None, :, :])
+    d = jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1)
+    pair_ok = v[:, :, None] & v[:, None, :]
+    d = jnp.where(pair_ok, d, 1 << 14)
+    # median over valid entries per row ~ the k-th smallest with k = n_valid // 2
+    ds = jnp.sort(d, axis=-1)                                # (P, M, M)
+    nv = jnp.sum(v.astype(jnp.int32), axis=-1)               # (P,)
+    k = jnp.clip(nv // 2, 0, M - 1)
+    med = jnp.take_along_axis(ds, k[:, None, None].repeat(M, 1), axis=-1)[..., 0]
+    med = jnp.where(v, med, 1 << 15)
+    best = jnp.argmin(med, axis=-1)                          # (P,)
+    new_desc = desc[jnp.arange(P), best]
+    has_obs = nv > 0
+    # normal: mean unit vector from observing camera centers to the point
+    Twc = jax.vmap(se3.inverse)(m.kf_Tcw)                    # (K, 7)
+    centers = Twc[m.obs_kf][..., 4:]                         # (P, M, 3)
+    rays = m.mp_pos[:, None, :] - centers
+    rays = rays / jnp.maximum(jnp.linalg.norm(rays, axis=-1, keepdims=True), 1e-9)
+    normal = jnp.sum(jnp.where(v[..., None], rays, 0.0), axis=1)
+    normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
+    return m._replace(
+        mp_desc=jnp.where(has_obs[:, None], new_desc, m.mp_desc),
+        mp_normal=jnp.where(has_obs[:, None], normal, m.mp_normal),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
 def cull_points(m: ms.MapState, cfg: SystemConfig) -> ms.MapState:
     """``MapPointCulling`` (``LocalMapping.cc:194-229``): drop points with
     found/visible ratio < 0.25 or with < 2 observations a few KFs after birth."""
