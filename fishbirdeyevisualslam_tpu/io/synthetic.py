@@ -87,10 +87,18 @@ def make_world(seed=0, extent=120.0, res=0.04, n_billboards=24) -> World:
     n = min(n, 4096)
     ground = _smooth_texture(rng, n)
     billboards = []
-    for _ in range(n_billboards):
-        # boards flanking the road corridor (vehicle drives roughly along +x)
-        x = rng.uniform(-10, 90)
-        y = rng.choice([-1, 1]) * rng.uniform(4, 14)
+    for k in range(n_billboards):
+        if k % 2 == 0:
+            # boards flanking the road corridor (vehicle drives roughly along +x)
+            x = rng.uniform(-10, 90)
+            y = rng.choice([-1, 1]) * rng.uniform(4, 14)
+        else:
+            # boards ringing the start area so circular trajectories always have
+            # mid-range front features in view
+            ang = rng.uniform(0, 2 * np.pi)
+            r = rng.uniform(14, 28)
+            x = r * np.cos(ang)
+            y = r * np.sin(ang)
         yaw = rng.uniform(0, 2 * np.pi)
         w = rng.uniform(3, 8)
         h = rng.uniform(2.5, 6)

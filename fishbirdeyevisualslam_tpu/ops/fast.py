@@ -92,7 +92,7 @@ def nms3x3(score):
     return jnp.where((score >= mx) & (score > 0), score, 0.0)
 
 
-def detect(img, ini_threshold: float, min_threshold: float):
+def detect(img, ini_threshold: float, min_threshold: float, with_raw: bool = False):
     """Two-threshold FAST like the reference (iniThFAST=15, fall back to
     minThFAST=5 where the strict pass found nothing *in a neighborhood*;
     ``ORBextractor.cc:765`` does this per 30px cell).  Here: strict-pass corners
@@ -100,10 +100,15 @@ def detect(img, ini_threshold: float, min_threshold: float):
     only where no strict corner survived NMS in the same cell — approximated by
     adding a large constant to strict scores.
 
-    Returns an NMS'd score map; 0 = not a corner.
+    Returns an NMS'd score map; 0 = not a corner.  With ``with_raw``, also
+    returns the pre-NMS low-threshold score map (for subpixel peak
+    interpolation — the NMS'd map has zeroed neighborhoods).
     """
     s_hi, _ = fast_score_map(img, ini_threshold)
     s_lo, _ = fast_score_map(img, min_threshold)
     # strict corners dominate ranking; weak-only corners fill sparse regions
     score = jnp.where(s_hi > 0, s_hi + 1e4, s_lo)
-    return nms3x3(score)
+    out = nms3x3(score)
+    if with_raw:
+        return out, s_lo
+    return out

@@ -44,7 +44,8 @@ class TrajectoryEntry:
 class SlamSystem:
     """``System::TrackMonocularWithOdom`` equivalent front door."""
 
-    def __init__(self, cfg: SystemConfig = SystemConfig(), localization_only: bool = False):
+    def __init__(self, cfg: SystemConfig = SystemConfig(), localization_only: bool = False,
+                 async_mapping: bool = False):
         self.cfg = cfg
         self.map: Optional[ms.MapState] = None
         self.state = tr.NOT_INITIALIZED
@@ -66,6 +67,37 @@ class SlamSystem:
         self.enable_loop_closing = True
         self.n_loops_closed = 0
         self._key = jax.random.PRNGKey(7)
+        # --- async mapping (the reference's LocalMapping thread, System.cc:97-98)
+        # Mapping work runs in a native pipeline stage on a map SNAPSHOT while
+        # tracking continues on the previous map; the result is merged at the
+        # next frame boundary.  Tracking-side found/visible counter updates made
+        # while a job is in flight are dropped (advisory counters only).
+        self.async_mapping = async_mapping
+        self._pending_result = None     # finished mapping output awaiting merge
+        self._mapping_busy = False
+        self._pipeline = None
+        if async_mapping:
+            from fishbirdeyevisualslam_tpu.runtime.native import AsyncPipeline
+            self._mapping_jobs = {}
+            self._pipeline = AsyncPipeline([self._mapping_stage], capacity=2)
+
+    def _mapping_stage(self, stage: int, item: int):
+        """Runs in the pipeline worker thread: triangulate + fuse + cull +
+        local BA + (optionally) loop closing on a snapshot."""
+        m, new_slot, prev_slot, frame_id = self._mapping_jobs.pop(item)
+        cfg = self.cfg
+        m = tr.triangulate_new_points(m, jnp.int32(new_slot), jnp.int32(prev_slot), cfg)
+        m = tr.fuse_neighbors(m, jnp.int32(new_slot), jnp.int32(prev_slot), cfg)
+        m = tr.cull_points(m, cfg)
+        m = tr.update_point_stats(m, cfg)
+        m = tr.local_ba(m, cfg, jnp.int32(new_slot))
+        m = tr.cull_keyframes(m, cfg, jnp.int32(new_slot - 2))
+        closed = False
+        if self.enable_loop_closing:
+            m, closed = self.loop_closer.process_keyframe(m, new_slot)
+        jax.block_until_ready(m.kf_Tcw)
+        self._pending_result = (m, new_slot, closed)
+        self._mapping_busy = False
 
     # ------------------------------------------------------------------ utils
     def _next_key(self):
@@ -102,6 +134,13 @@ class SlamSystem:
             self.cfg,
             self.cfg.capacity.max_front_kp,
         )
+        # merge a finished async mapping result at the frame boundary
+        if self._pending_result is not None:
+            m, kf_slot, closed = self._pending_result
+            self._pending_result = None
+            self.map = m
+            if closed:
+                self.n_loops_closed += 1
         if self.state == tr.NOT_INITIALIZED:
             Tcw = self._initialize(f)
         elif self.state == tr.OK:
@@ -182,10 +221,16 @@ class SlamSystem:
             cfg.extrinsics, self.last_Tcw, self.last_frame.odom, f.odom
         )
         # --- TrackWithMotionModel: match against points seen in the last frame
+        # UNION the reference KF's points: our last_assoc keeps only pose-opt
+        # inliers, and a low-inlier frame would otherwise starve the next
+        # frame's candidate set recursively
         P = m.mp_pos.shape[0]
         cand_last = jnp.zeros((P,), bool).at[
             jnp.clip(self.last_assoc.mp_idx, 0, P - 1)
         ].set(self.last_assoc.mp_idx >= 0)
+        kf_pts = m.kf_mp[self.last_kf_slot]
+        cand_last = cand_last.at[jnp.clip(kf_pts, 0, P - 1)].set(
+            cand_last[jnp.clip(kf_pts, 0, P - 1)] | (kf_pts >= 0))
         res, vis = tr.match_map_points(
             m, f, cfg, Tcw_pred, cand_last,
             radius=jnp.float32(15.0), max_dist=jnp.float32(cfg.matcher.th_high),
@@ -226,7 +271,7 @@ class SlamSystem:
         pt_local, local_kf = tr.local_map_mask(m, assoc.mp_idx, cfg)
         res2, vis2 = tr.match_map_points(
             m, f, cfg, Tcw, pt_local,
-            radius=jnp.float32(8.0), max_dist=jnp.float32(cfg.matcher.th_high),
+            radius=jnp.float32(12.0), max_dist=jnp.float32(cfg.matcher.th_high),
         )
         mp_idx = jnp.where(assoc.mp_idx >= 0, assoc.mp_idx, res2.idx)
         bres2 = tr.match_bird_points(m, f, cfg, Tcw, tr.bird_local_mask(m, cfg, Tcw))
@@ -270,27 +315,39 @@ class SlamSystem:
             and n_in >= 15
         )
         is_kf = False
-        if need and int(self.map.n_kf) < cfg.capacity.max_keyframes - 1:
+        if need and int(self.map.n_kf) < cfg.capacity.max_keyframes - 1 \
+                and not self._mapping_busy:
             m = self.map
             new_slot = int(m.n_kf)
             m = tr.insert_keyframe(m, f, assoc, Tcw, cfg, jnp.int32(self.frame_id))
-            m = tr.triangulate_new_points(m, jnp.int32(new_slot), jnp.int32(self.last_kf_slot), cfg)
-            m = tr.fuse_neighbors(m, jnp.int32(new_slot), jnp.int32(self.last_kf_slot), cfg)
-            m = tr.cull_points(m, cfg)
-            m = tr.update_point_stats(m, cfg)
-            m = tr.local_ba(m, cfg, jnp.int32(new_slot))
-            m = tr.cull_keyframes(m, cfg, jnp.int32(new_slot - 2))
-            if self.enable_loop_closing:
-                m, closed = self.loop_closer.process_keyframe(m, new_slot)
-                if closed:
-                    self.n_loops_closed += 1
-            self.map = m
-            Tcw = m.kf_Tcw[new_slot]
+            if self.async_mapping:
+                # hand the snapshot to the mapping stage; tracking continues on
+                # the inserted-but-unrefined map (the reference's behavior while
+                # LocalMapping churns)
+                self.map = m
+                self._mapping_busy = True
+                job_id = self.frame_id
+                self._mapping_jobs[job_id] = (m, new_slot, self.last_kf_slot, self.frame_id)
+                self._pipeline.submit(job_id)
+            else:
+                m = tr.triangulate_new_points(m, jnp.int32(new_slot), jnp.int32(self.last_kf_slot), cfg)
+                m = tr.fuse_neighbors(m, jnp.int32(new_slot), jnp.int32(self.last_kf_slot), cfg)
+                m = tr.cull_points(m, cfg)
+                m = tr.update_point_stats(m, cfg)
+                m = tr.local_ba(m, cfg, jnp.int32(new_slot))
+                m = tr.cull_keyframes(m, cfg, jnp.int32(new_slot - 2))
+                if self.enable_loop_closing:
+                    m, closed = self.loop_closer.process_keyframe(m, new_slot)
+                    if closed:
+                        self.n_loops_closed += 1
+                self.map = m
+                Tcw = m.kf_Tcw[new_slot]
             self.last_kf_slot = new_slot
             self.last_kf_frame_id = self.frame_id
             self.ref_kf_tracked = n_in
-            # refresh associations from the KF record (post-BA)
-            self.last_assoc = tr.TrackObs(m.kf_mp[new_slot], m.kf_bird_mp[new_slot])
+            # refresh associations from the KF record (post-BA in sync mode)
+            self.last_assoc = tr.TrackObs(self.map.kf_mp[new_slot],
+                                          self.map.kf_bird_mp[new_slot])
             is_kf = True
         self._record(f, Tcw, is_kf)
         return Tcw
@@ -299,12 +356,30 @@ class SlamSystem:
         """Loss recovery: odometry dead-reckoning + bird-only tracking + odometry-
         seeded re-initialization of a fresh KF pair (Tracking.cc:2395-2481)."""
         cfg = self.cfg
+        if self._pipeline is not None:
+            # the LOST path appends KFs; an in-flight (or just-finished) mapping
+            # snapshot merged afterwards would overwrite the new submap — drain
+            # the pipeline and consume the result NOW (the reference's
+            # RequestStop/isStopped handshake, LocalMapping.cc:579-654)
+            if self._mapping_busy:
+                self._pipeline.flush()
+            if self._pending_result is not None:
+                m_new, _, closed = self._pending_result
+                self._pending_result = None
+                self.map = m_new
+                if closed:
+                    self.n_loops_closed += 1
         m = self.map
         Tcw_pred = odo.motion_prior_Tcw(
             cfg.extrinsics, self.last_Tcw, self.last_frame.odom, f.odom
         )
         self.n_lost_frames += 1
-        # TrackUsingBird: bird-only pose against the bird local map
+        # TrackUsingBird: bird-only pose refinement against the bird local map.
+        # NOTE: unlike the reference (which continues as tracking-OK from it,
+        # Tracking.cc:554-562) we keep the LOST state: on texture-degenerate
+        # bird views the bird-only pose can alias with many false "inliers",
+        # and the odometry dead-reckoning below is the safer bridge.  Revisit
+        # when running on real contour-labeled bird data.
         bres = tr.match_bird_points(m, f, cfg, Tcw_pred, tr.bird_local_mask(m, cfg, Tcw_pred))
         Tcw = Tcw_pred
         if int(bres.count) >= 10:

@@ -548,6 +548,12 @@ def cull_keyframes(m: ms.MapState, cfg: SystemConfig, protect_from) -> ms.MapSta
     idx = jnp.arange(K)
     cullable = m.kf_valid & (frac > 0.9) & (n_tracked > 10) \
         & (idx >= 2) & (idx < protect_from) & ~m.kf_is_init
+    # cull at most ONE keyframe per call: the redundancy test is computed
+    # against PRE-cull observation counts, so batch-culling mutually-redundant
+    # KFs would cascade points below their observation minimum (the reference
+    # culls incrementally inside the mapping loop, LocalMapping.cc:656-729)
+    worst = jnp.argmax(jnp.where(cullable, frac, -1.0))
+    cullable = jnp.zeros((K,), bool).at[worst].set(cullable[worst])
     keep = m.kf_valid & ~cullable
     # drop observations from culled KFs
     obs_keep = m.obs_valid & keep[m.obs_kf]
