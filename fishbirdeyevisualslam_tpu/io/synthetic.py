@@ -81,11 +81,35 @@ class World:
         return _bilinear(self.ground, ty, tx)
 
 
+def _paint_markings(ground, rng, res, n_marks=160):
+    """Paint bright/dark line segments onto the ground (lane-marking/curb
+    analogs): real IPM imagery is contour-dominated, and these give the bird
+    view distinctive, non-self-similar ORB descriptors (pure value-noise
+    texture aliases badly)."""
+    n = ground.shape[0]
+    for _ in range(n_marks):
+        x0, y0 = rng.randint(0, n, 2)
+        ang = rng.uniform(0, np.pi)
+        length = int(rng.uniform(0.5, 6.0) / res)
+        width = max(1, int(rng.uniform(0.08, 0.3) / res))
+        val = rng.choice([240.0, 15.0])
+        dx, dy = np.cos(ang), np.sin(ang)
+        ts = np.arange(length)
+        xs = (x0 + ts * dx).astype(np.int32)
+        ys = (y0 + ts * dy).astype(np.int32)
+        for w in range(-(width // 2), width // 2 + 1):
+            xw = np.clip(xs + int(round(w * -dy)), 0, n - 1)
+            yw = np.clip(ys + int(round(w * dx)), 0, n - 1)
+            ground[yw, xw] = val
+    return ground
+
+
 def make_world(seed=0, extent=120.0, res=0.04, n_billboards=24) -> World:
     rng = np.random.RandomState(seed)
     n = int(extent / res)
     n = min(n, 4096)
     ground = _smooth_texture(rng, n)
+    ground = _paint_markings(ground, rng, res)
     billboards = []
     for k in range(n_billboards):
         if k % 2 == 0:

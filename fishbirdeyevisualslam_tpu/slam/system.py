@@ -473,6 +473,19 @@ class SlamSystem:
         m = ms.add_observation(m, dest, jnp.full(F, slot2, jnp.int32), feat2, can)
         return m
 
+    def finish(self):
+        """Drain async mapping and merge the final result (the reference's
+        ``Shutdown`` joins its threads, ``System.cc:363-382``).  Safe to call in
+        sync mode (no-op)."""
+        if self._pipeline is not None:
+            self._pipeline.flush()
+            if self._pending_result is not None:
+                m, _, closed = self._pending_result
+                self._pending_result = None
+                self.map = m
+                if closed:
+                    self.n_loops_closed += 1
+
     # ------------------------------------------------------------- trajectory
     def keyframe_trajectory_tum(self) -> str:
         """``SaveKeyFrameTrajectoryOdomTUM`` (``System.cc:543-585``): TUM lines
