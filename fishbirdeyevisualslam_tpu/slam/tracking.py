@@ -498,11 +498,14 @@ def local_ba(m: ms.MapState, cfg: SystemConfig, center_kf) -> ms.MapState:
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def fuse_neighbors(m: ms.MapState, new_kf, neighbor_kf, cfg: SystemConfig) -> ms.MapState:
-    """``LocalMapping::SearchInNeighbors`` (``LocalMapping.cc:478-558``), reduced
-    to its dominant effect: project the new KF's map points into a neighbor KF,
-    match against that KF's *unassociated* features, and register the missing
-    observations.  (Full point-merge of double-associations is deferred — the
-    duplicate pair keeps coexisting until culling removes the weaker one.)"""
+    """``LocalMapping::SearchInNeighbors`` (``LocalMapping.cc:478-558``): project
+    the new KF's map points into a neighbor KF and match.
+
+    * match lands on an unassociated feature  -> register the observation,
+    * match lands on a feature that already carries a DIFFERENT point -> merge:
+      the point with fewer observations is replaced by the other
+      (``MapPoint::Replace``, ``MapPoint.cc:177``) — implemented as a redirect
+      table applied to every ``kf_mp`` entry plus observation transfer."""
     F = m.kf_uv.shape[1]
     P = m.mp_pos.shape[0]
     # points owned by the new KF
@@ -513,20 +516,51 @@ def fuse_neighbors(m: ms.MapState, new_kf, neighbor_kf, cfg: SystemConfig) -> ms
     pc = se3.transform(Tn, Xw)
     uv_proj = cam_ops.project_pinhole(cfg.camera, pc)
     vis = has_pt & (pc[:, 2] > 0.1)
-    # match new KF's point descriptors against neighbor's free features
-    free = m.kf_kp_valid[neighbor_kf] & (m.kf_mp[neighbor_kf] < 0)
     compat = matcher.window_mask(uv_proj, m.kf_uv[neighbor_kf], 4.0)
-    compat = compat & vis[:, None] & free[None, :]
+    compat = compat & vis[:, None] & m.kf_kp_valid[neighbor_kf][None, :]
     d_pts = desc_pm1_from_packed(m.mp_desc[pid])
     d_nb = desc_pm1_from_packed(m.kf_desc[neighbor_kf])
     res = matcher.match(d_pts, d_nb, compat, max_dist=float(cfg.matcher.th_low))
     res = matcher.resolve_duplicates(res, F)
     ok = res.ok & vis
     feat_nb = jnp.clip(res.idx, 0, F - 1)
-    m = ms.add_observation(m, pid, jnp.full((F,), neighbor_kf, jnp.int32), feat_nb, ok)
+    nb_pt = m.kf_mp[neighbor_kf][feat_nb]                       # (F,) point at target
+    free_hit = ok & (nb_pt < 0)
+    dup_hit = ok & (nb_pt >= 0) & (nb_pt != pid)
+
+    # --- free features: register the observation
+    m = ms.add_observation(m, pid, jnp.full((F,), neighbor_kf, jnp.int32), feat_nb, free_hit)
     m = m._replace(kf_mp=m.kf_mp.at[neighbor_kf].set(
-        m.kf_mp[neighbor_kf].at[jnp.where(ok, feat_nb, F - 1)].set(
-            jnp.where(ok, pid, m.kf_mp[neighbor_kf][jnp.where(ok, feat_nb, F - 1)]))))
+        m.kf_mp[neighbor_kf].at[jnp.where(free_hit, feat_nb, F - 1)].set(
+            jnp.where(free_hit, pid, m.kf_mp[neighbor_kf][jnp.where(free_hit, feat_nb, F - 1)]))))
+
+    # --- duplicate pairs: merge the weaker into the stronger
+    nobs = ms.point_obs_count(m)
+    a = pid                                                     # new-KF point
+    b = jnp.clip(nb_pt, 0, P - 1)                               # neighbor point
+    a_wins = nobs[a] >= nobs[b]
+    winner = jnp.where(a_wins, a, b)
+    loser = jnp.where(a_wins, b, a)
+    do_merge = dup_hit & m.mp_valid[a] & m.mp_valid[b]
+    # redirect table (deterministic): accumulate winner ids per loser with
+    # scatter-add; apply only where exactly one merge targeted the loser
+    # (multi-merge collisions fall back to identity — they re-fuse next KF)
+    mf = do_merge.astype(jnp.int32)
+    cnt = jnp.zeros((P,), jnp.int32).at[jnp.where(do_merge, loser, 0)].add(mf)
+    wsum = jnp.zeros((P,), jnp.int32).at[jnp.where(do_merge, loser, 0)].add(winner * mf)
+    unique = cnt == 1
+    redirect = jnp.where(unique, wsum, jnp.arange(P, dtype=jnp.int32))
+    do_merge = do_merge & unique[loser]
+    kf_mp = jnp.where(m.kf_mp >= 0, redirect[jnp.clip(m.kf_mp, 0, P - 1)], -1)
+    # transfer loser's observation slots to the winner (capacity-bound) and kill it
+    lose_mask = jnp.zeros((P,), bool).at[jnp.where(do_merge, loser, P - 1)].set(do_merge)
+    mp_valid = m.mp_valid & ~lose_mask
+    m = m._replace(kf_mp=kf_mp, mp_valid=mp_valid,
+                   obs_valid=m.obs_valid & mp_valid[:, None])
+    # register the winner's new observation at the duplicate feature if the
+    # winner was the new-KF point (it just gained the neighbor's feature)
+    m = ms.add_observation(m, winner, jnp.full((F,), neighbor_kf, jnp.int32),
+                           feat_nb, do_merge & a_wins)
     return m
 
 

@@ -82,3 +82,44 @@ class TestCovisibility:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestFuseMerge:
+    def test_duplicate_points_merge(self):
+        import jax
+        import jax.numpy as jnp
+        from fishbirdeyevisualslam_tpu.slam import tracking as tr
+        from fishbirdeyevisualslam_tpu.ops import orb
+        from fishbirdeyevisualslam_tpu.geometry import se3, camera
+        import numpy as np
+
+        cfg = CFG
+        m = ms.empty_map(cfg)
+        rng = np.random.RandomState(0)
+        # two KFs at identity-ish poses; one world point duplicated as ids 0, 1
+        Xw = jnp.array([2.0, 0.5, 10.0])
+        desc_bits = jnp.asarray(rng.randint(0, 2, (1, 256)).astype(np.uint8))
+        packed = orb.pack_bits(desc_bits)[0]
+        uv = camera.project_pinhole(cfg.camera, Xw)
+        kf0, kf1 = 0, 1
+        m = m._replace(
+            kf_valid=m.kf_valid.at[kf0].set(True).at[kf1].set(True),
+            kf_Tcw=m.kf_Tcw,  # identity
+            kf_uv=m.kf_uv.at[kf1, 3].set(uv),
+            kf_desc=m.kf_desc.at[kf1, 3].set(packed),
+            kf_kp_valid=m.kf_kp_valid.at[kf1, 3].set(True),
+            # point 0 owned by kf0 feature 2; point 1 owned by kf1 feature 3
+            mp_pos=m.mp_pos.at[0].set(Xw).at[1].set(Xw + 0.01),
+            mp_desc=m.mp_desc.at[0].set(packed).at[1].set(packed),
+            mp_valid=m.mp_valid.at[0].set(True).at[1].set(True),
+            kf_mp=m.kf_mp.at[kf0, 2].set(0).at[kf1, 3].set(1),
+            n_kf=jnp.int32(2),
+        )
+        # give point 0 two observations so it wins the merge
+        m = ms.add_observation(m, jnp.array([0, 0, 1]), jnp.array([0, 1, 1]),
+                               jnp.array([2, 5, 3]), jnp.ones(3, bool))
+        m2 = tr.fuse_neighbors(m, jnp.int32(kf0), jnp.int32(kf1), cfg)
+        # point 1 merged into point 0
+        assert not bool(m2.mp_valid[1])
+        assert bool(m2.mp_valid[0])
+        assert int(m2.kf_mp[kf1, 3]) == 0  # redirected
