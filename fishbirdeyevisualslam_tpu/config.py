@@ -124,6 +124,10 @@ class BAConfig:
     huber_delta: float = math.sqrt(5.991)
     pose_rounds: int = 4
     pose_iters: int = 10
+    # soft odometry prior in per-frame pose optimization (EXTENSION: the
+    # reference uses the odometry pose only as the LM seed; 0 = reference
+    # behavior).  Anchors frames with weak visual constraints.
+    pose_prior_info: float = 100.0
     local_ba_iters_1: int = 5
     local_ba_iters_2: int = 10
     global_ba_iters: int = 20

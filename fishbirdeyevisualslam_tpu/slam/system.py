@@ -258,7 +258,7 @@ class SlamSystem:
         bres = tr.match_bird_points(m, f, cfg, Tcw_pred, bmask)
         assoc = tr.TrackObs(res.idx, bres.idx)
         if n_mm >= 10:
-            out1 = tr.pose_opt_step(m, f, assoc, cfg, Tcw_pred)
+            out1 = tr.pose_opt_step(m, f, assoc, cfg, Tcw_pred, Tcw_pred)
             Tcw = out1.Tcw
             assoc = tr.TrackObs(
                 jnp.where(out1.front_inlier, assoc.mp_idx, -1),
@@ -277,7 +277,7 @@ class SlamSystem:
         bres2 = tr.match_bird_points(m, f, cfg, Tcw, tr.bird_local_mask(m, cfg, Tcw))
         bp_idx = jnp.where(assoc.bp_idx >= 0, assoc.bp_idx, bres2.idx)
         assoc = tr.TrackObs(mp_idx, bp_idx)
-        out2 = tr.pose_opt_step(m, f, assoc, cfg, Tcw)
+        out2 = tr.pose_opt_step(m, f, assoc, cfg, Tcw, Tcw_pred)
         n_in = int(out2.n_inliers)
         assoc = tr.TrackObs(
             jnp.where(out2.front_inlier, assoc.mp_idx, -1),

@@ -242,8 +242,10 @@ def match_bird_points(m: ms.MapState, f: Frame, cfg: SystemConfig, Tcw_pred, can
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
-def pose_opt_step(m: ms.MapState, f: Frame, assoc: TrackObs, cfg: SystemConfig, Tcw0):
-    """Build FrontObs/BirdObs from associations and run the 4x10 LM."""
+def pose_opt_step(m: ms.MapState, f: Frame, assoc: TrackObs, cfg: SystemConfig, Tcw0,
+                  prior_T=None):
+    """Build FrontObs/BirdObs from associations and run the 4x10 LM, optionally
+    anchored to the odometry prediction by a soft prior factor."""
     lut = inv_level_sigma2_lut(cfg)
     P = m.mp_pos.shape[0]
     PB = m.bp_pos.shape[0]
@@ -263,7 +265,10 @@ def pose_opt_step(m: ms.MapState, f: Frame, assoc: TrackObs, cfg: SystemConfig, 
         inv_sigma2=lut[jnp.clip(f.bird_octave, 0, lut.shape[0] - 1)],
         valid=bok & m.bp_valid[bid],
     )
-    return pose_optimization(cfg.camera, cfg.ba, Tcw0, front, bird)
+    return pose_optimization(
+        cfg.camera, cfg.ba, Tcw0, front, bird,
+        prior_T=Tcw0 if prior_T is None else prior_T,
+        prior_info=cfg.ba.pose_prior_info)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))

@@ -98,24 +98,43 @@ def pose_optimization(
     Tcw0,
     front: FrontObs,
     bird: BirdObs,
+    prior_T=None,
+    prior_info: float = 0.0,
 ) -> PoseOptResult:
     """4x10 LM with chi2 re-gating.  See module docstring for the exact mapping
-    to ``Optimizer.cc:478-705``."""
+    to ``Optimizer.cc:478-705``.
+
+    Extension beyond the reference: an optional soft SE3 prior factor
+    ``prior_info * ||log(T prior_T^-1)||^2`` (the odometry prediction).  The
+    reference uses the odometry pose only as the LM seed (loose coupling); the
+    soft prior additionally anchors frames whose visual constraints are weak —
+    set ``prior_info = 0`` for exact reference behavior."""
     f_in = front.valid
     b_in = bird.valid
+    if prior_T is None:
+        prior_T = Tcw0
 
     def one_round(Tcw_init, f_in, b_in, use_huber):
         build = _lm_rounds_body(cam, ba, front, bird, use_huber)
         f_act = f_in.astype(jnp.float32)
         b_act = b_in.astype(jnp.float32)
 
+        def prior_terms(T):
+            e = se3.log(se3.compose(T, se3.inverse(prior_T)))
+            # first-order Jacobian ~ I for the left-multiplicative update
+            return prior_info * jnp.eye(6), -prior_info * e, prior_info * jnp.sum(e * e)
+
         def total_err(T):
             _, _, c2f, c2b = build(T, f_act, b_act)
-            return _weighted_chi2_sum(c2f, c2b, f_act, b_act, ba.huber_delta, use_huber)
+            _, _, pe = prior_terms(T)
+            return _weighted_chi2_sum(c2f, c2b, f_act, b_act, ba.huber_delta, use_huber) + pe
 
         def lm_step(carry, _):
             T, lam, err = carry
             H, g, _, _ = build(T, f_act, b_act)
+            Hp, gp, _ = prior_terms(T)
+            H = H + Hp
+            g = g + gp
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(6)
             dx = jnp.linalg.solve(Hd, g)
             T_new = se3.retract(T, dx)
