@@ -87,8 +87,10 @@ def compute_loop_transform(m: ms.MapState, cur_kf, cand_kf, cfg: SystemConfig, k
     d2 = desc_pm1_from_packed(m.kf_desc[cand_kf])
     has1 = m.kf_kp_valid[cur_kf] & (m.kf_mp[cur_kf] >= 0)
     has2 = m.kf_kp_valid[cand_kf] & (m.kf_mp[cand_kf] >= 0)
-    gate = bow_ops.node_gate_mask(
-        m.kf_words[cur_kf], has1, m.kf_words[cand_kf], has2)
+    # full dense match (the reference's SearchByBoW node gate is a CPU-cost
+    # optimization; on the MXU the dense problem is free and the gate only
+    # starves the 3D-3D correspondence set)
+    gate = has1[:, None] & has2[None, :]
     res = matcher.match(d1, d2, gate, max_dist=50.0, ratio=0.75)
     res = matcher.resolve_duplicates(res, F)
     pid1 = jnp.clip(m.kf_mp[cur_kf], 0, P - 1)
