@@ -146,6 +146,15 @@ class TrackingConfig:
     min_kfs_for_reset: int = 5        # full reset if lost early (Tracking.cc:731-740)
     min_frames_between_kf: int = 0
     max_frames_between_kf: int = 25   # = fps
+    # Frame::isInFrustum gates (dist within [0.8 d_min, 1.2 d_max], viewing
+    # cos > 0.5) and the predicted-level octave window in local-map matching.
+    # Implemented faithfully but DEFAULT OFF: with the whole-image extractor's
+    # octave distribution these gates measurably starve tracking on the
+    # synthetic oracle (80-frame rect: lost 10 -> 45 with gates on); revisit on
+    # real contour-labeled data where the pyramid statistics match the
+    # reference's.
+    use_frustum_gates: bool = False
+    use_level_window: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -283,6 +283,14 @@ def make_trajectory(n_frames=60, kind="arc", step=0.35, seed=0):
             dth = 0.012 * np.sin(i / 12.0)
         elif kind == "circle":
             dth = 2 * np.pi / n_frames  # closes a full loop
+        elif kind == "rect":
+            # rounded rectangle returning to the start: 4 straights + 4 quarter
+            # arcs (the loop-closure stress case — the far side leaves the
+            # start's covisibility entirely, unlike "circle")
+            n_corner = max(4, n_frames // 16)
+            n_straight = max(1, n_frames // 4 - n_corner)
+            phase = i % (n_straight + n_corner)
+            dth = (np.pi / 2) / n_corner if phase >= n_straight else 0.0
         else:
             dth = 0.0
         th += dth

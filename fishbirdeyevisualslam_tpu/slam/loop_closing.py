@@ -76,12 +76,24 @@ def detect_loop_scores(m: ms.MapState, cur_kf, cfg: SystemConfig):
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def compute_loop_transform(m: ms.MapState, cur_kf, cand_kf, cfg: SystemConfig, key):
-    """3D-3D alignment between the map points of two KFs.
+    """3D-3D alignment between two KFs from front map points AND bird keypoints.
 
     Returns (T_correction (7,), n_inliers, success): T maps current-drifted
-    world coords onto loop-consistent ones, estimated from matched map points
-    (fixed scale; ``Sim3Solver`` with bFixScale)."""
+    world coords onto loop-consistent ones (fixed scale; ``Sim3Solver`` with
+    bFixScale, ``LoopClosing::ComputeSim3`` ``src/LoopClosing.cc:234-403``).
+
+    Two correspondence sources feed one RANSAC:
+      * front: matched features where BOTH sides carry a map point (the
+        reference's only source) — positions are the map points themselves;
+      * bird (EXTENSION): matched bird keypoints lifted through each side's
+        pose.  Bird keypoints carry exact metric 3D from the IPM back-projection
+        (``Frame.cc:363-373``) so they need no map association at all; this is
+        what the reference's own design implies (bird points are the metric
+        anchor) and it removes the correspondence starvation that a
+        feature-poor stretch induces on the map-point route.
+    """
     F = m.kf_uv.shape[1]
+    FB = m.kf_bird_cam.shape[1]
     P = m.mp_pos.shape[0]
     d1 = desc_pm1_from_packed(m.kf_desc[cur_kf])
     d2 = desc_pm1_from_packed(m.kf_desc[cand_kf])
@@ -98,46 +110,89 @@ def compute_loop_transform(m: ms.MapState, cur_kf, cand_kf, cfg: SystemConfig, k
     ok = res.ok & m.mp_valid[pid1] & m.mp_valid[pid2]
     p_cur = m.mp_pos[pid1]   # positions in drifted world
     p_loop = m.mp_pos[pid2]  # positions in loop-consistent world
-    out = ransac_sim3(p_loop, p_cur, ok, key, inlier_thresh=0.3, min_inliers=20,
-                      fix_scale=cfg.flags.fix_scale)
-    from fishbirdeyevisualslam_tpu.geometry import sim3 as sim3_mod
-    T_corr = sim3_mod.to_se3(out.S12)
-    return T_corr, out.n_inliers, out.success
+
+    # bird keypoint <-> keypoint pairs, lifted through the two KF poses
+    d1b = desc_pm1_from_packed(m.kf_bird_desc[cur_kf])
+    d2b = desc_pm1_from_packed(m.kf_bird_desc[cand_kf])
+    gate_b = m.kf_bird_kp_valid[cur_kf][:, None] & m.kf_bird_kp_valid[cand_kf][None, :]
+    res_b = matcher.match(d1b, d2b, gate_b, max_dist=50.0, ratio=0.75)
+    res_b = matcher.resolve_duplicates(res_b, FB)
+    Twc_cur = se3.inverse(m.kf_Tcw[cur_kf])
+    Twc_cand = se3.inverse(m.kf_Tcw[cand_kf])
+    pb_cur = se3.transform(Twc_cur, m.kf_bird_cam[cur_kf])
+    pb_loop = se3.transform(
+        Twc_cand, m.kf_bird_cam[cand_kf][jnp.clip(res_b.idx, 0, FB - 1)])
+    ok_b = res_b.ok
+
+    p_cur_all = jnp.concatenate([p_cur, pb_cur], axis=0)
+    p_loop_all = jnp.concatenate([p_loop, pb_loop], axis=0)
+    ok_all = jnp.concatenate([ok, ok_b], axis=0)
+    out = ransac_sim3(p_loop_all, p_cur_all, ok_all, key, inlier_thresh=0.3,
+                      min_inliers=20, fix_scale=cfg.flags.fix_scale)
+    return out.S12, out.n_inliers, out.success
 
 
 @functools.partial(jax.jit, static_argnums=(4,))
-def correct_loop(m: ms.MapState, cur_kf, loop_kf, T_corr, cfg: SystemConfig):
-    """Apply the loop correction.  T_corr maps drifted-world to corrected-world
-    (world-level correction: X' = T_corr X, Tcw' = Tcw T_corr^-1 for the
-    current covisible group)."""
+def correct_loop(m: ms.MapState, cur_kf, loop_kf, S_corr, cfg: SystemConfig):
+    """Apply the loop correction.  S_corr (8,) maps current-drifted world coords
+    onto loop-consistent ones (world-level correction: X' = S X, Scw' = Scw S^-1
+    for the current covisible group, ``CorrectLoop`` ``LoopClosing.cc:405-614``).
+
+    With ``fix_scale`` (the reference's default) the correction and essential
+    graph are SE3; otherwise the full Sim3 scale-drift-aware graph runs
+    (``OptimizeEssentialGraph`` with Sim3 vertices)."""
+    from fishbirdeyevisualslam_tpu.geometry import sim3 as sim3_mod
     K = m.K
     C = ms.covisibility_counts(m)
     Cb = ms.bird_covisibility_counts(m)
     poses_old = m.kf_Tcw
-
-    # seed: correct current KF + covisible group
     group = ((C[cur_kf] > 0) | (jnp.arange(K) == cur_kf)) & m.kf_valid
-    T_corr_inv = se3.inverse(T_corr)
-    corrected = jax.vmap(lambda T: se3.compose(T, T_corr_inv))(poses_old)
-    poses_seed = jnp.where(group[:, None], corrected, poses_old)
-
-    # essential graph with a loop edge (measured relative pose AFTER correction:
-    # the loop constraint says cur and loop are now consistent)
     loop_i = jnp.asarray([cur_kf], jnp.int32)
     loop_j = jnp.asarray([loop_kf], jnp.int32)
-    loop_T = (se3.compose(poses_seed[cur_kf], se3.inverse(poses_seed[loop_kf])))[None]
-    edges = build_pose_graph_edges(
-        cfg, poses_old, C, Cb, m.kf_valid, loop_i, loop_j, loop_T,
-        min_feat=cfg.ba.essential_graph_min_feat,
-    )
     fixed = (~m.kf_valid) | (jnp.arange(K) == loop_kf)
-    poses_new = optimize_pose_graph(cfg, poses_seed, fixed, edges)
-
-    # transport landmarks with their reference KF (front AND bird)
     mp_ref = jnp.clip(m.mp_ref_kf, 0, K - 1)
     bp_ref = jnp.clip(m.bp_ref_kf, 0, K - 1)
-    mp_new = carry_points(m.mp_pos, mp_ref, poses_old, poses_new)
-    bp_new = carry_points(m.bp_pos, bp_ref, poses_old, poses_new)
+
+    if cfg.flags.fix_scale:
+        T_corr = sim3_mod.to_se3(S_corr)
+        # seed: correct current KF + covisible group
+        T_corr_inv = se3.inverse(T_corr)
+        corrected = jax.vmap(lambda T: se3.compose(T, T_corr_inv))(poses_old)
+        poses_seed = jnp.where(group[:, None], corrected, poses_old)
+        # essential graph with a loop edge (measured relative pose AFTER
+        # correction: the loop constraint says cur and loop are now consistent)
+        loop_T = (se3.compose(poses_seed[cur_kf], se3.inverse(poses_seed[loop_kf])))[None]
+        edges = build_pose_graph_edges(
+            cfg, poses_old, C, Cb, m.kf_valid, loop_i, loop_j, loop_T,
+            min_feat=cfg.ba.essential_graph_min_feat,
+        )
+        poses_new = optimize_pose_graph(cfg, poses_seed, fixed, edges)
+        mp_new = carry_points(m.mp_pos, mp_ref, poses_old, poses_new)
+        bp_new = carry_points(m.bp_pos, bp_ref, poses_old, poses_new)
+    else:
+        from fishbirdeyevisualslam_tpu.solvers.sim3_pose_graph import (
+            Sim3Edges, optimize_sim3_pose_graph, carry_points_sim3,
+        )
+        S_old = sim3_mod.from_se3(poses_old)
+        S_corr_inv = sim3_mod.inverse(S_corr)
+        corrected = jax.vmap(lambda S: sim3_mod.compose(S, S_corr_inv))(S_old)
+        S_seed = jnp.where(group[:, None], corrected, S_old)
+        loop_S = sim3_mod.compose(S_seed[cur_kf], sim3_mod.inverse(S_seed[loop_kf]))[None]
+        # reuse the SE3 edge assembly for topology + pre-correction measurements
+        edges_se3 = build_pose_graph_edges(
+            cfg, poses_old, C, Cb, m.kf_valid, loop_i, loop_j,
+            sim3_mod.to_se3(loop_S),
+            min_feat=cfg.ba.essential_graph_min_feat,
+        )
+        S_meas = sim3_mod.from_se3(edges_se3.T_meas)
+        S_meas = S_meas.at[-1:].set(loop_S)
+        edges = Sim3Edges(edges_se3.i, edges_se3.j, S_meas, edges_se3.info,
+                          edges_se3.valid)
+        S_new = optimize_sim3_pose_graph(S_seed, fixed, edges)
+        mp_new = carry_points_sim3(m.mp_pos, mp_ref, S_old, S_new)
+        bp_new = carry_points_sim3(m.bp_pos, bp_ref, S_old, S_new)
+        poses_new = sim3_mod.to_se3(S_new)
+
     return m._replace(
         kf_Tcw=poses_new,
         mp_pos=jnp.where(m.mp_valid[:, None], mp_new, m.mp_pos),
@@ -250,11 +305,11 @@ class LoopCloser:
         self.streak_kf = best
         if self.streak < self.consistency_needed:
             return m, False
-        T_corr, n_in, ok = compute_loop_transform(
+        S_corr, n_in, ok = compute_loop_transform(
             m, jnp.int32(cur_kf), jnp.int32(best), cfg, self._next_key())
         if not bool(ok):
             return m, False
-        m = correct_loop(m, jnp.int32(cur_kf), jnp.int32(best), T_corr, cfg)
+        m = correct_loop(m, jnp.int32(cur_kf), jnp.int32(best), S_corr, cfg)
         m = global_ba(m, cfg)
         self.last_loop_kf_id = cur_kf
         self.streak = 0

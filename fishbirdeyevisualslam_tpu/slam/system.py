@@ -272,6 +272,7 @@ class SlamSystem:
         res2, vis2 = tr.match_map_points(
             m, f, cfg, Tcw, pt_local,
             radius=jnp.float32(12.0), max_dist=jnp.float32(cfg.matcher.th_high),
+            frustum_gates=True,
         )
         mp_idx = jnp.where(assoc.mp_idx >= 0, assoc.mp_idx, res2.idx)
         bres2 = tr.match_bird_points(m, f, cfg, Tcw, tr.bird_local_mask(m, cfg, Tcw))

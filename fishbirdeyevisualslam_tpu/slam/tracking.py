@@ -22,6 +22,7 @@ only reads scalars (inlier counts, state booleans) to drive branching.
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple, Optional
 
 import jax
@@ -193,22 +194,52 @@ class TrackObs(NamedTuple):
     bp_idx: jnp.ndarray    # (FB,) int32 bird point per bird feature, -1 none
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
+@functools.partial(jax.jit, static_argnums=(2, 7))
 def match_map_points(
     m: ms.MapState, f: Frame, cfg: SystemConfig, Tcw_pred,
     cand_mask, radius: jnp.ndarray, max_dist: jnp.ndarray,
+    frustum_gates: bool = False,
 ):
     """Project candidate map points into the frame and match in a window —
     the core of both ``SearchByProjection`` variants (last-frame ``ORBmatcher.cc:1329``
     and local-map ``:46``).  cand_mask: (P,) bool candidate set; radius: scalar px.
-    Returns MatchResult over FEATURES (query = features, target = points)."""
+    Returns MatchResult over FEATURES (query = features, target = points).
+
+    The per-point search radius is scaled by the predicted pyramid level (the
+    reference multiplies the window by ``mvScaleFactors[nPredictedLevel]``) and
+    feature octaves must sit within one level of the prediction.  With
+    ``frustum_gates`` the local-map variant's ``Frame::isInFrustum`` checks are
+    added: distance within the point's scale-invariance range [0.8 d_min,
+    1.2 d_max] and mean-viewing-angle cos > 0.5 (``Frame.cc:435-491``).
+    """
     P = m.mp_pos.shape[0]
     pc = se3.transform(Tcw_pred, m.mp_pos)
     uv_proj = cam_ops.project_pinhole(cfg.camera, pc)
     vis = cand_mask & m.mp_valid & (pc[:, 2] > 0.1)
     vis = vis & (uv_proj[:, 0] >= 0) & (uv_proj[:, 0] < cfg.camera.width) \
               & (uv_proj[:, 1] >= 0) & (uv_proj[:, 1] < cfg.camera.height)
-    compat = matcher.window_mask(f.uv, uv_proj, radius)
+    # predicted pyramid level from the scale-invariance range
+    # (``MapPoint::PredictScale``, ``MapPoint.cc:383-399``)
+    center = se3.inverse(Tcw_pred)[4:]
+    rays = m.mp_pos - center
+    dist = jnp.maximum(jnp.linalg.norm(rays, axis=-1), 1e-6)
+    log_sf = math.log(cfg.orb.scale_factor)
+    pred = jnp.ceil(jnp.log(jnp.maximum(m.mp_max_dist, 1e-6) / dist) / log_sf)
+    pred = jnp.clip(pred, 0, cfg.orb.n_levels - 1).astype(jnp.int32)
+    if frustum_gates and cfg.tracking.use_frustum_gates:
+        vis = vis & (dist >= 0.8 * m.mp_min_dist) & (dist <= 1.2 * m.mp_max_dist)
+        viewcos = jnp.sum(rays * m.mp_normal, axis=-1) / dist
+        vis = vis & (viewcos > 0.5)
+    sf_lut = jnp.asarray(cfg.orb.scale_factors(), jnp.float32)
+    # per-point radius scaled by the predicted level; points whose range is not
+    # yet estimated (max_dist at its 1e9 init) keep the base radius
+    r_scale = jnp.where(m.mp_max_dist < 1e8, sf_lut[pred], 1.0)
+    r_pt = radius * r_scale                                # (P,) per-point radius
+    d_uv = jnp.abs(f.uv[:, None, :] - uv_proj[None, :, :])
+    compat = (d_uv[..., 0] <= r_pt[None, :]) & (d_uv[..., 1] <= r_pt[None, :])
+    if cfg.tracking.use_level_window:
+        d_oct = f.octave[:, None] - pred[None, :]
+        compat = compat & (d_oct >= -1) & (d_oct <= 1)
     compat = compat & f.kp_valid[:, None] & vis[None, :]
     mp_pm1 = desc_pm1_from_packed(m.mp_desc)
     res = matcher.match(f.desc_pm1, mp_pm1, compat, max_dist=max_dist)
@@ -630,9 +661,24 @@ def update_point_stats(m: ms.MapState, cfg: SystemConfig) -> ms.MapState:
     rays = rays / jnp.maximum(jnp.linalg.norm(rays, axis=-1, keepdims=True), 1e-9)
     normal = jnp.sum(jnp.where(v[..., None], rays, 0.0), axis=1)
     normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
+    # scale-invariance range from the reference-KF observation's octave
+    # (``UpdateNormalAndDepth``: maxDist = dist * scaleFactor^level,
+    # minDist = maxDist / scaleFactor^(nLevels-1), ``MapPoint.cc:330-399``)
+    ref = jnp.clip(m.mp_ref_kf, 0, m.K - 1)
+    dist_ref = jnp.linalg.norm(m.mp_pos - Twc[ref][:, 4:], axis=-1)
+    is_ref = (m.obs_kf == ref[:, None]) & v
+    any_ref = jnp.any(is_ref, axis=1)
+    slot = jnp.where(any_ref, jnp.argmax(is_ref, axis=1), jnp.argmax(v, axis=1))
+    rows = jnp.arange(P)
+    oct_ref = m.kf_octave[m.obs_kf[rows, slot], m.obs_feat[rows, slot]]
+    sf = cfg.orb.scale_factor
+    max_dist = dist_ref * jnp.exp(oct_ref.astype(jnp.float32) * math.log(sf))
+    min_dist = max_dist / (sf ** (cfg.orb.n_levels - 1))
     return m._replace(
         mp_desc=jnp.where(has_obs[:, None], new_desc, m.mp_desc),
         mp_normal=jnp.where(has_obs[:, None], normal, m.mp_normal),
+        mp_min_dist=jnp.where(has_obs, min_dist, m.mp_min_dist),
+        mp_max_dist=jnp.where(has_obs, max_dist, m.mp_max_dist),
     )
 
 

@@ -17,9 +17,12 @@ RANSAC + closed-form reconstruction:
   * re-initialization after loss: rotation taken from odometry, only +/-t tested
     (``ReInitconstructF``, ``:672-775``).
 
-The reference's homography branch (RH > 0.4 model selection) is intentionally
-not replicated yet: on its driving sequences the front view is deep-scene and F
-wins; H support can be added as a second scorer later.
+Model selection replicates the reference: H (4-point DLT RANSAC, Faugeras
+8-hypothesis decomposition, ``FindHomography``/``ReconstructH``,
+``Initializer.cc:210-375,418-565``) and F are scored in one batch and the
+homography wins when RH = SH/(SH+SF) > 0.40 (``Initialize``, ``:124-134``).
+Unlike the reference (whose H path forgets the odometry scale — the fork only
+patched ``ReconstructF``), the H branch here applies the same metric scaling.
 """
 
 from __future__ import annotations
@@ -114,6 +117,118 @@ def ransac_fundamental(uv1, uv2, valid, key, n_iters: int = 200, sigma: float = 
     return F, score, inliers
 
 
+def _dlt_homography(uv1n, uv2n):
+    """H from >=4 normalized correspondences (nullvec of A^T A; the reference's
+    ``ComputeH21`` uses the same DLT system, ``Initializer.cc:377-416``)."""
+    u1, v1 = uv1n[:, 0], uv1n[:, 1]
+    u2, v2 = uv2n[:, 0], uv2n[:, 1]
+    zero = jnp.zeros_like(u1)
+    one = jnp.ones_like(u1)
+    r1 = jnp.stack([zero, zero, zero, -u1, -v1, -one, v2 * u1, v2 * v1, v2], axis=-1)
+    r2 = jnp.stack([u1, v1, one, zero, zero, zero, -u2 * u1, -u2 * v1, -u2], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=0)
+    _, V = jnp.linalg.eigh(A.T @ A)
+    return V[:, 0].reshape(3, 3)
+
+
+def _score_H(H, uv1, uv2, valid, sigma: float = 1.0):
+    """Symmetric transfer error score (``CheckHomography``, th = score base =
+    5.991)."""
+    th = 5.991
+    inv_s2 = 1.0 / (sigma * sigma)
+    Hinv = jnp.linalg.inv(H)
+    ones = jnp.ones_like(uv1[:, :1])
+    p1 = jnp.concatenate([uv1, ones], axis=-1)
+    p2 = jnp.concatenate([uv2, ones], axis=-1)
+    q2 = p1 @ H.T
+    q2 = q2[:, :2] / jnp.where(jnp.abs(q2[:, 2:]) < 1e-12, 1e-12, q2[:, 2:])
+    q1 = p2 @ Hinv.T
+    q1 = q1[:, :2] / jnp.where(jnp.abs(q1[:, 2:]) < 1e-12, 1e-12, q1[:, 2:])
+    d2_2 = jnp.sum((uv2 - q2) ** 2, axis=-1) * inv_s2
+    d2_1 = jnp.sum((uv1 - q1) ** 2, axis=-1) * inv_s2
+    in1 = (d2_1 < th) & valid
+    in2 = (d2_2 < th) & valid
+    score = jnp.sum(jnp.where(in1, th - d2_1, 0.0)) + jnp.sum(
+        jnp.where(in2, th - d2_2, 0.0)
+    )
+    return score, in1 & in2
+
+
+def ransac_homography(uv1, uv2, valid, key, n_iters: int = 200, sigma: float = 1.0):
+    """Fixed-batch RANSAC over 8-point samples (the reference draws 8-point sets
+    shared between the H and F estimators, ``Initializer.cc:79-110``)."""
+    n = uv1.shape[0]
+    logits = jnp.where(valid, 0.0, -1e9)
+    g = jax.random.gumbel(key, (n_iters, n)) + logits[None, :]
+    _, sample_idx = jax.lax.top_k(g, 8)
+
+    uv1n_all, T1 = _normalize(uv1, valid)
+    uv2n_all, T2 = _normalize(uv2, valid)
+    T2inv = jnp.linalg.inv(T2)
+
+    def one(idx):
+        Hn = _dlt_homography(uv1n_all[idx], uv2n_all[idx])
+        H = T2inv @ Hn @ T1
+        H = H / jnp.where(jnp.abs(H[2, 2]) < 1e-12, 1.0, H[2, 2])
+        s, _ = _score_H(H, uv1, uv2, valid, sigma)
+        return H, s
+
+    Hs, scores = jax.vmap(one)(sample_idx)
+    best = jnp.argmax(scores)
+    H = Hs[best]
+    score, inliers = _score_H(H, uv1, uv2, valid, sigma)
+    return H, score, inliers
+
+
+def decompose_H(H, K):
+    """Faugeras–Lustman decomposition of a calibrated homography into 8 motion
+    hypotheses (``ReconstructH``, ``Initializer.cc:418-565``).
+
+    Returns (Rs (8, 3, 3), ts (8, 3) unit, degenerate: bool) — degenerate when
+    the singular values are too close (pure rotation / plane at infinity)."""
+    Kinv = jnp.linalg.inv(K)
+    A = Kinv @ H @ K
+    U, d, Vt = jnp.linalg.svd(A)
+    s = jnp.linalg.det(U) * jnp.linalg.det(Vt)
+    d1, d2, d3 = d[0], d[1], d[2]
+    degenerate = (d1 / d2 < 1.00001) | (d2 / d3 < 1.00001)
+
+    aux1 = jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2) / (d1 * d1 - d3 * d3), 0.0))
+    aux3 = jnp.sqrt(jnp.maximum((d2 * d2 - d3 * d3) / (d1 * d1 - d3 * d3), 0.0))
+    x1s = jnp.array([1.0, 1.0, -1.0, -1.0]) * aux1
+    x3s = jnp.array([1.0, -1.0, 1.0, -1.0]) * aux3
+
+    Rs, ts = [], []
+    # case d' = d2
+    aux_st = jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0)) / (
+        (d1 + d3) * d2)
+    ctheta = (d2 * d2 + d1 * d3) / ((d1 + d3) * d2)
+    sths = jnp.array([1.0, -1.0, -1.0, 1.0]) * aux_st
+    for i in range(4):
+        Rp = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+        Rp = Rp.at[0, 0].set(ctheta).at[2, 2].set(ctheta)
+        Rp = Rp.at[0, 2].set(-sths[i]).at[2, 0].set(sths[i])
+        tp = jnp.stack([x1s[i], 0.0 * x1s[i], -x3s[i]]) * (d1 - d3)
+        Rs.append(s * (U @ Rp @ Vt))
+        ts.append(U @ tp)
+    # case d' = -d2
+    aux_sp = jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0)) / (
+        jnp.where(jnp.abs(d1 - d3) < 1e-12, 1e-12, (d1 - d3)) * d2)
+    cphi = (d1 * d3 - d2 * d2) / (jnp.where(jnp.abs(d1 - d3) < 1e-12, 1e-12, (d1 - d3)) * d2)
+    sphs = jnp.array([1.0, -1.0, -1.0, 1.0]) * aux_sp
+    for i in range(4):
+        Rp = jnp.zeros((3, 3))
+        Rp = Rp.at[0, 0].set(cphi).at[2, 2].set(-cphi).at[1, 1].set(-1.0)
+        Rp = Rp.at[0, 2].set(sphs[i]).at[2, 0].set(sphs[i])
+        tp = jnp.stack([x1s[i], 0.0 * x1s[i], x3s[i]]) * (d1 + d3)
+        Rs.append(s * (U @ Rp @ Vt))
+        ts.append(U @ tp)
+    Rs = jnp.stack(Rs)
+    ts = jnp.stack(ts)
+    ts = ts / jnp.maximum(jnp.linalg.norm(ts, axis=-1, keepdims=True), 1e-12)
+    return Rs, ts, degenerate
+
+
 def decompose_E(E):
     """4 motion hypotheses from an essential matrix (reference ``DecomposeE``)."""
     U, _, Vt = jnp.linalg.svd(E)
@@ -154,39 +269,84 @@ def initialize(
     sigma: float = 1.0,
     min_triangulated: int = 50,
 ) -> InitResult:
-    """Full two-view init.  ``T21_odom``: camera-frame relative pose T_c2_c1 from
-    odometry pre-integration (provides the metric scale and the ReInit rotation).
-    ``uv*`` are undistorted pixels; frame 1 is gauge (identity).
+    """Full two-view init with H/F model selection.  ``T21_odom``: camera-frame
+    relative pose T_c2_c1 from odometry pre-integration (provides the metric
+    scale and the ReInit rotation).  ``uv*`` are undistorted pixels; frame 1 is
+    gauge (identity).
     """
     K = jnp.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1.0]], jnp.float32)
-    F, score, inliers = ransac_fundamental(uv1, uv2, valid, key, n_iters, sigma)
+    kF, kH = jax.random.split(key)
+    F, score_f, inliers_f = ransac_fundamental(uv1, uv2, valid, kF, n_iters, sigma)
+    H, score_h, inliers_h = ransac_homography(uv1, uv2, valid, kH, n_iters, sigma)
+    sigma2 = sigma * sigma
+    t_odom = T21_odom[4:]
+
+    # ---- F branch: 4 hypotheses from E (ReconstructF)
     E = K.T @ F @ K
     R1, R2, t = decompose_E(E)
-
-    t_odom = T21_odom[4:]
     scale = jnp.where(loose_couple, jnp.dot(t_odom, t), 1.0)
     t = t * scale  # metric scale from odometry (Initializer.cc:567-585)
-
-    sigma2 = sigma * sigma
     hyps = [(R1, t), (R2, t), (R1, -t), (R2, -t)]
     counts, masks, tris = [], [], []
     for R_h, t_h in hyps:
-        n, m, tri = _census(cam, R_h, t_h, uv1, uv2, inliers, sigma2)
+        n, mk, tri = _census(cam, R_h, t_h, uv1, uv2, inliers_f, sigma2)
         counts.append(n)
-        masks.append(m)
+        masks.append(mk)
         tris.append(tri)
-    counts_a = jnp.stack(counts)
-    max_good = jnp.max(counts_a)
-    n_similar = jnp.sum((counts_a > 0.7 * max_good).astype(jnp.int32))
-    N = jnp.sum(inliers.astype(jnp.int32))
-    n_min = jnp.maximum((0.9 * N).astype(jnp.int32), min_triangulated)
-    ok = (max_good >= n_min) & (n_similar == 1)
+    counts_f = jnp.stack(counts)
+    max_f = jnp.max(counts_f)
+    n_similar = jnp.sum((counts_f > 0.7 * max_f).astype(jnp.int32))
+    N_f = jnp.sum(inliers_f.astype(jnp.int32))
+    n_min_f = jnp.maximum((0.9 * N_f).astype(jnp.int32), min_triangulated)
+    ok_f = (max_f >= n_min_f) & (n_similar == 1)
+    best_f = jnp.argmax(counts_f)
+    T21s_f = jnp.stack([se3.make(se3.matrix_to_quat(R_h), t_h) for R_h, t_h in hyps])
+    Xws_f = jnp.stack([tr.Xw for tr in tris])
+    ms_f = jnp.stack(masks)
 
-    best = jnp.argmax(counts_a)
-    T21s = jnp.stack([se3.make(se3.matrix_to_quat(R_h), t_h) for R_h, t_h in hyps])
-    Xws = jnp.stack([tr.Xw for tr in tris])
-    ms = jnp.stack(masks)
-    return InitResult(ok, T21s[best], Xws[best], ms[best] & ok, max_good)
+    # ---- H branch: Faugeras 8 hypotheses (ReconstructH); metric scale applied
+    # per hypothesis direction (EXTENSION: the reference's H path stays
+    # scale-ambiguous — its fork only patched ReconstructF)
+    Rs_h, ts_h, degen_h = decompose_H(H, K)
+    s_h = jnp.einsum("j,ij->i", t_odom, ts_h)
+    if loose_couple:
+        # metric scale via the odometry dot product.  Scaling by the signed dot
+        # collapses each +/-t pair onto ONE pose (the sign ambiguity is resolved
+        # by odometry), so the mirrored hypothesis (negative dot) must be
+        # dropped or it would duplicate the winner and defeat the 0.75
+        # uniqueness test.
+        ts_h = ts_h * s_h[:, None]
+        hyp_ok_h = s_h > 1e-6
+    else:
+        hyp_ok_h = jnp.ones((8,), bool)
+
+    def census_h(R_h, t_h):
+        return _census(cam, R_h, t_h, uv1, uv2, inliers_h, sigma2)
+
+    counts_h, masks_h, tris_h = jax.vmap(census_h)(Rs_h, ts_h)
+    counts_h = jnp.where(hyp_ok_h, counts_h, -1)
+    # uniqueness on PARALLAX-QUALIFIED counts: with the odometry-scaled
+    # hypotheses a near-pure-rotation solution can pass the plain cheirality
+    # census almost as well as the true motion; requiring parallax (which the
+    # reference's best-hypothesis check also gates on) separates them
+    n_par_h = jnp.where(hyp_ok_h, jnp.sum(masks_h.astype(jnp.int32), axis=1), -1)
+    top2, _ = jax.lax.top_k(n_par_h, 2)
+    N_h = jnp.sum(inliers_h.astype(jnp.int32))
+    n_min_h = jnp.maximum((0.9 * N_h).astype(jnp.int32), min_triangulated)
+    best_h = jnp.argmax(n_par_h)
+    ok_h = (counts_h[best_h] >= n_min_h) & (top2[1] < 0.75 * jnp.maximum(top2[0], 1)) \
+        & (~degen_h)
+    T21s_h = jax.vmap(lambda R_, t_: se3.make(se3.matrix_to_quat(R_), t_))(Rs_h, ts_h)
+
+    # ---- model selection: RH = SH / (SH + SF) > 0.40 (Initialize, :124-134)
+    rh = score_h / jnp.maximum(score_h + score_f, 1e-9)
+    use_h = rh > 0.40
+    ok = jnp.where(use_h, ok_h, ok_f)
+    T21 = jnp.where(use_h, T21s_h[best_h], T21s_f[best_f])
+    Xw = jnp.where(use_h, tris_h.Xw[best_h], Xws_f[best_f])
+    mask = jnp.where(use_h, masks_h[best_h], ms_f[best_f])
+    n_good = jnp.where(use_h, counts_h[best_h], max_f)
+    return InitResult(ok, T21, Xw, mask & ok, n_good)
 
 
 def reinitialize(

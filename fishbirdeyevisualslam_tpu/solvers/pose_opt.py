@@ -52,6 +52,37 @@ class PoseOptResult(NamedTuple):
     n_inliers: jnp.ndarray     # scalar int32: front inliers (reference return value)
 
 
+def _chol_solve6(H, g):
+    """Unrolled 6x6 Cholesky solve with scalar ops only — unlike
+    ``jnp.linalg.solve`` this fuses into the surrounding elementwise graph, so
+    each LM iteration stays a handful of kernels instead of hitting a dense
+    linalg kernel boundary 40 times per pose."""
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        s = H[i, i]
+        for k in range(i):
+            s = s - L[i][k] * L[i][k]
+        L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-12))
+        for j in range(i + 1, 6):
+            s2 = H[j, i]
+            for k in range(i):
+                s2 = s2 - L[j][k] * L[i][k]
+            L[j][i] = s2 / L[i][i]
+    y = [None] * 6
+    for i in range(6):
+        s = g[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def _front_terms(cam, Tcw, front: FrontObs, w_front, huber_delta, use_huber, active):
     e, J, _ = res.front_residuals(cam, Tcw, front.Xw, front.uv)
     info = front.inv_sigma2 * w_front
@@ -124,30 +155,32 @@ def pose_optimization(
             # first-order Jacobian ~ I for the left-multiplicative update
             return prior_info * jnp.eye(6), -prior_info * e, prior_info * jnp.sum(e * e)
 
-        def total_err(T):
-            _, _, c2f, c2b = build(T, f_act, b_act)
-            _, _, pe = prior_terms(T)
-            return _weighted_chi2_sum(c2f, c2b, f_act, b_act, ba.huber_delta, use_huber) + pe
+        def build_full(T):
+            # ONE residual evaluation yields the normal equations AND the
+            # robustified error — the LM loop below never evaluates twice
+            # (rejected steps reuse the cached H, g of the last good pose)
+            H, g, c2f, c2b = build(T, f_act, b_act)
+            Hp, gp, pe = prior_terms(T)
+            err = _weighted_chi2_sum(c2f, c2b, f_act, b_act, ba.huber_delta, use_huber) + pe
+            return H + Hp, g + gp, err
 
         def lm_step(carry, _):
-            T, lam, err = carry
-            H, g, _, _ = build(T, f_act, b_act)
-            Hp, gp, _ = prior_terms(T)
-            H = H + Hp
-            g = g + gp
+            T, err, H, g, lam = carry
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(6)
-            dx = jnp.linalg.solve(Hd, g)
-            T_new = se3.retract(T, dx)
-            err_new = total_err(T_new)
-            accept = (err_new < err) & jnp.all(jnp.isfinite(dx))
-            T = jnp.where(accept, T_new, T)
-            err = jnp.where(accept, err_new, err)
-            lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-            lam = jnp.clip(lam, 1e-10, 1e6)
-            return (T, lam, err), None
+            dx = _chol_solve6(Hd, g)
+            T_cand = se3.retract(T, dx)
+            H_c, g_c, err_c = build_full(T_cand)
+            accept = (err_c < err) & jnp.all(jnp.isfinite(dx))
+            T = jnp.where(accept, T_cand, T)
+            err = jnp.where(accept, err_c, err)
+            H = jnp.where(accept, H_c, H)
+            g = jnp.where(accept, g_c, g)
+            lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e6)
+            return (T, err, H, g, lam), None
 
-        (T, _, _), _ = jax.lax.scan(
-            lm_step, (Tcw_init, jnp.float32(1e-4), total_err(Tcw_init)), None,
+        H0, g0, err0 = build_full(Tcw_init)
+        (T, _, _, _, _), _ = jax.lax.scan(
+            lm_step, (Tcw_init, err0, H0, g0, jnp.float32(1e-4)), None,
             length=ba.pose_iters,
         )
         # re-gate outliers at the optimized pose (no Huber in the gate, raw chi2)
@@ -179,28 +212,31 @@ def bird_only_optimization(ba: BAConfig, Tcw0, bird: BirdObs) -> PoseOptResult:
         def terms(T, act):
             return _bird_terms(T, bird, ba.w_bird, ba.huber_delta, use_huber, act)
 
-        def total_err(T):
-            _, _, c2 = terms(T, b_act)
-            return _weighted_chi2_sum(
+        def build_full(T):
+            H, g, c2 = terms(T, b_act)
+            err = _weighted_chi2_sum(
                 jnp.zeros(()), c2, jnp.zeros(()), b_act, ba.huber_delta, use_huber
             )
+            return H, g, err
 
         def lm_step(carry, _):
-            T, lam, err = carry
-            H, g, _ = terms(T, b_act)
+            T, err, H, g, lam = carry
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(6)
-            dx = jnp.linalg.solve(Hd, g)
-            T_new = se3.retract(T, dx)
-            err_new = total_err(T_new)
-            accept = (err_new < err) & jnp.all(jnp.isfinite(dx))
+            dx = _chol_solve6(Hd, g)
+            T_cand = se3.retract(T, dx)
+            H_c, g_c, err_c = build_full(T_cand)
+            accept = (err_c < err) & jnp.all(jnp.isfinite(dx))
             return (
-                jnp.where(accept, T_new, T),
+                jnp.where(accept, T_cand, T),
+                jnp.where(accept, err_c, err),
+                jnp.where(accept, H_c, H),
+                jnp.where(accept, g_c, g),
                 jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e6),
-                jnp.where(accept, err_new, err),
             ), None
 
-        (T, _, _), _ = jax.lax.scan(
-            lm_step, (Tcw_init, jnp.float32(1e-4), total_err(Tcw_init)), None,
+        H0, g0, err0 = build_full(Tcw_init)
+        (T, _, _, _, _), _ = jax.lax.scan(
+            lm_step, (Tcw_init, err0, H0, g0, jnp.float32(1e-4)), None,
             length=ba.pose_iters,
         )
         _, _, chi2 = terms(T, jnp.ones_like(b_act))

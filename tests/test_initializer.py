@@ -78,6 +78,55 @@ class TestInitialize:
         out = initializer.initialize(CAM, uv1, uv2, jnp.ones(n, bool), T21, jax.random.PRNGKey(3))
         assert not bool(out.success)
 
+    def test_homography_branch_on_planar_scene(self):
+        # all points on one tilted plane: F is degenerate, the H branch must
+        # win model selection (RH > 0.4) and still recover the metric pose
+        rng = np.random.RandomState(11)
+        n = 300
+        xy = np.stack([rng.uniform(-8, 8, n), rng.uniform(-4, 4, n)], -1)
+        z = 14.0 + 0.35 * xy[:, 0] + 0.2 * xy[:, 1]
+        X = np.concatenate([xy, z[:, None]], -1).astype(np.float32)
+        T21_true = se3.make(
+            se3.so3_exp_quat(jnp.asarray([0.0, 0.04, 0.01], jnp.float32)),
+            jnp.asarray([0.9, 0.0, 0.25], jnp.float32),
+        )
+        uv1 = np.array(camera.project_pinhole(CAM, jnp.asarray(X)))
+        uv2 = np.array(camera.project_pinhole(CAM, se3.transform(T21_true, jnp.asarray(X))))
+        uv1 += rng.randn(n, 2) * 0.3
+        uv2 += rng.randn(n, 2) * 0.3
+        out = initializer.initialize(
+            CAM, jnp.asarray(uv1), jnp.asarray(uv2), jnp.ones(n, bool),
+            T21_true, jax.random.PRNGKey(6))
+        assert bool(out.success)
+        np.testing.assert_allclose(
+            np.asarray(out.T21[4:]), np.asarray(T21_true[4:]), atol=0.08)
+        dq = se3.quat_mul(se3.quat_conj(out.T21[:4]), T21_true[:4])
+        ang = 2 * np.arccos(min(1.0, abs(float(dq[0]))))
+        assert ang < 0.02, ang
+
+    def test_homography_decomposition_exact(self):
+        # synthetic calibrated homography of a known plane/motion: one of the 8
+        # Faugeras hypotheses must equal (R, t/d)
+        K = np.array([[CAM.fx, 0, CAM.cx], [0, CAM.fy, CAM.cy], [0, 0, 1.0]], np.float32)
+        Rt = np.asarray(se3.quat_to_matrix(
+            se3.so3_exp_quat(jnp.asarray([0.02, -0.05, 0.01], jnp.float32))))
+        t = np.array([0.4, 0.1, -0.2], np.float32)
+        nrm = np.array([0.1, -0.05, 1.0], np.float32)
+        nrm /= np.linalg.norm(nrm)
+        d = 12.0
+        A = Rt + np.outer(t / d, nrm)
+        H = K @ A @ np.linalg.inv(K)
+        Rs, ts, degen = initializer.decompose_H(jnp.asarray(H), jnp.asarray(K))
+        assert not bool(degen)
+        t_unit = t / np.linalg.norm(t)
+        errs = [
+            min(np.linalg.norm(np.asarray(ts[i]) - t_unit),
+                np.linalg.norm(np.asarray(ts[i]) + t_unit))
+            + np.abs(np.asarray(Rs[i]) - Rt).max()
+            for i in range(8)
+        ]
+        assert min(errs) < 1e-3, errs
+
     def test_reinitialize_with_odometry_rotation(self):
         uv1, uv2, valid, T21_true, _ = two_view_scene(seed=7)
         out = initializer.reinitialize(CAM, uv1, uv2, valid, T21_true, jax.random.PRNGKey(4))
