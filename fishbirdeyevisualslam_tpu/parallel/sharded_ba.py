@@ -125,7 +125,11 @@ def batched_pose_optimization(cfg: SystemConfig, mesh: Mesh, Tcw0_batch,
                               front_batch: FrontObs, bird_batch: BirdObs):
     """DP harness: independent per-frame pose optimizations sharded over ``dp``
     (the multi-sequence throughput configuration of BASELINE.json)."""
-    vf = jax.vmap(lambda T, f, b: pose_optimization(cfg.camera, cfg.ba, T, f, b))
+    # use_fused=False: the Pallas LM kernel is single-problem; under vmap the
+    # XLA op-graph path batches cleanly (the batch supplies the parallelism the
+    # fused kernel exists to recover)
+    vf = jax.vmap(lambda T, f, b: pose_optimization(cfg.camera, cfg.ba, T, f, b,
+                                                    use_fused=False))
     spec_f = FrontObs(Xw=P("dp"), uv=P("dp"), inv_sigma2=P("dp"), valid=P("dp"))
     spec_b = BirdObs(Xw=P("dp"), Xc=P("dp"), inv_sigma2=P("dp"), valid=P("dp"))
     from fishbirdeyevisualslam_tpu.solvers.pose_opt import PoseOptResult
