@@ -76,15 +76,38 @@ def main():
         uv_proj = cam_ops.project_pinhole(cam, pc)
         vis = (pc[:, 2] > 0.1) & (uv_proj[:, 0] >= 0) & (uv_proj[:, 0] < cam.width) \
             & (uv_proj[:, 1] >= 0) & (uv_proj[:, 1] < cam.height)
-        compat = matcher.window_mask(uv, uv_proj, 15.0) & kp.valid[:, None] & vis[None, :]
-        res = matcher.match(kp.desc_pm1, map_pm1, compat,
-                            max_dist=float(cfg.matcher.th_high))
-        res = matcher.resolve_duplicates(res, P)
-        # bird matching
-        pcb = se3.transform(Tcw_pred, bp_pos)
-        bres = matcher.match(bkp.desc_pm1, bp_pm1,
-                             bkp.valid[:, None] & jnp.ones((1, PB), bool),
-                             max_dist=float(cfg.matcher.th_high))
+        import os
+        fused_on = (jax.default_backend() == "tpu"
+                    and cfg.tracking.use_fused_matcher
+                    and os.environ.get("FBEV_FUSED_MATCH", "1") != "0")
+        if fused_on:
+            # production path: fused MXU match, distance matrix stays in VMEM
+            from fishbirdeyevisualslam_tpu.ops.pallas_matcher import (
+                fused_projection_match,
+            )
+            res = fused_projection_match(
+                kp.desc_pm1, uv, kp.level, kp.valid,
+                map_pm1, uv_proj, jnp.float32(15.0),
+                jnp.zeros((P,), jnp.float32), vis,
+                max_dist=float(cfg.matcher.th_high))
+            bres = fused_projection_match(
+                bkp.desc_pm1, bkp.xy, bkp.level, bkp.valid,
+                bp_pm1, jnp.zeros((PB, 2), jnp.float32),
+                jnp.float32(1e6), jnp.zeros((PB,), jnp.float32),
+                jnp.ones((PB,), bool),
+                max_dist=float(cfg.matcher.th_high))
+            res = matcher.resolve_duplicates(res, P)
+            pcb = se3.transform(Tcw_pred, bp_pos)
+        else:
+            compat = matcher.window_mask(uv, uv_proj, 15.0) & kp.valid[:, None] & vis[None, :]
+            res = matcher.match(kp.desc_pm1, map_pm1, compat,
+                                max_dist=float(cfg.matcher.th_high))
+            res = matcher.resolve_duplicates(res, P)
+            # bird matching
+            pcb = se3.transform(Tcw_pred, bp_pos)
+            bres = matcher.match(bkp.desc_pm1, bp_pm1,
+                                 bkp.valid[:, None] & jnp.ones((1, PB), bool),
+                                 max_dist=float(cfg.matcher.th_high))
         # pose optimization
         pid = jnp.clip(res.idx, 0, P - 1)
         front = FrontObs(Xw=map_pos[pid], uv=uv,

@@ -155,6 +155,13 @@ class TrackingConfig:
     # reference's.
     use_frustum_gates: bool = False
     use_level_window: bool = False
+    # Route projection-gated matching through the fused Pallas MXU kernel on
+    # TPU (ops/pallas_matcher.fused_projection_match) — the (N_feat, N_points)
+    # distance matrix never touches HBM.  At the default sizes (2048 x 16384)
+    # the XLA matmul+top_k path measures equal-or-faster on v5e (184 vs 180
+    # fps full step), so this defaults OFF; flip it when the map store grows
+    # past HBM comfort.  Ignored on CPU (op-graph path).
+    use_fused_matcher: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

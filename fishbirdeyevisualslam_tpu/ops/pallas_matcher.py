@@ -168,3 +168,129 @@ def fused_masked_match(desc_a, uv_a, desc_b, uv_b, valid_b, radius,
     idx = out[:na, 2].astype(jnp.int32)
     idx = jnp.where(best < BIG, idx, -1)
     return best, second, idx
+
+
+# ---------------------------------------------------------------------------
+# MXU fused projection match: the tracking hot path (``SearchByProjection`` /
+# ``BirdMapPointMatch`` gating) with the distance matrix never leaving VMEM.
+#
+# The op-graph path (``matcher.match``) computes D = (256 - A B^T)/2 on the MXU
+# but writes the full (N_feat, N_points) f32 matrix to HBM (2048 x 16384 =
+# 134 MB per frame) before the top-2 reduction reads it back.  This kernel runs
+# the same MXU matmul tile-by-tile and merges a running (best, second, argmin)
+# in VMEM, so HBM traffic is just the operands — the speed-of-light version for
+# large maps.  Gates supported (matching ``slam.tracking.match_map_points``):
+# per-target square search radius (scaled by predicted pyramid level), target
+# validity (radius < 0 = invalid), and the |octave - predicted_level| <= 1
+# window (``ORBmatcher.cc:46-157`` gating structure).
+# ---------------------------------------------------------------------------
+
+
+def _proj_match_kernel(a_pm1_ref, a_aux_ref, b_pm1_ref, b_aux_ref, out_ref,
+                       *, level_window: bool):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :] = jnp.full_like(out_ref, BIG)
+        out_ref[:, 2] = jnp.full((out_ref.shape[0],), -1.0, out_ref.dtype)
+
+    ta = a_pm1_ref.shape[0]
+    tb = b_pm1_ref.shape[0]
+    # MXU: Hamming = (256 - A B^T) / 2 on +/-1 bf16 descriptors (exact in f32)
+    dot = jax.lax.dot_general(
+        a_pm1_ref[:, :], b_pm1_ref[:, :],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d = 0.5 * (256.0 - dot)
+
+    # gates: per-target window radius (negative = invalid target), A validity
+    # (aux col 3 <= 0 = invalid), optional octave-vs-predicted-level window
+    ua = a_aux_ref[:, 0][:, None]
+    va = a_aux_ref[:, 1][:, None]
+    ub = b_aux_ref[:, 0][None, :]
+    vb = b_aux_ref[:, 1][None, :]
+    rb = b_aux_ref[:, 2][None, :]
+    ok = (jnp.abs(ua - ub) <= rb) & (jnp.abs(va - vb) <= rb)
+    ok = ok & (a_aux_ref[:, 3][:, None] > 0.0)
+    if level_window:
+        doct = a_aux_ref[:, 2][:, None] - b_aux_ref[:, 3][None, :]
+        ok = ok & (doct >= -1.0) & (doct <= 1.0)
+    d = jnp.where(ok, d, BIG)
+
+    # tile-local best + second, then merge into the running (b1, b2, bi)
+    t1 = jnp.min(d, axis=1)
+    ti = jnp.argmin(d, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ta, tb), 1)
+    t2 = jnp.min(jnp.where(col == ti[:, None], BIG, d), axis=1)
+    t_idx = (ti + j * tb).astype(jnp.float32)
+
+    b1 = out_ref[:, 0]
+    b2 = out_ref[:, 1]
+    bi = out_ref[:, 2]
+    take_new = t1 < b1
+    loser = jnp.where(take_new, b1, t1)
+    out_ref[:, 0] = jnp.minimum(b1, t1)
+    out_ref[:, 1] = jnp.minimum(jnp.minimum(b2, t2), loser)
+    out_ref[:, 2] = jnp.where(take_new, t_idx, bi)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("level_window", "ratio", "interpret"))
+def fused_projection_match(pm1_a, uv_a, oct_a, valid_a,
+                           pm1_b, uv_b, radius_b, pred_b, valid_b,
+                           max_dist, level_window: bool = False,
+                           ratio=None, interpret: bool = False):
+    """Fused ``matcher.match`` for projection-gated problems.
+
+    pm1_a (Na, 256) +/-1, uv_a (Na, 2), oct_a (Na,), valid_a (Na,) bool;
+    pm1_b (Nb, 256), uv_b (Nb, 2) projected target positions, radius_b (Nb,)
+    per-target window, pred_b (Nb,) predicted pyramid level, valid_b (Nb,).
+    Returns ``matcher.MatchResult`` with exactly ``matcher.match`` semantics
+    for compat = window(radius_b) & level_window & valid_a & valid_b.
+    """
+    from fishbirdeyevisualslam_tpu.ops.matcher import MatchResult
+
+    na, nb = pm1_a.shape[0], pm1_b.shape[0]
+    pa = -(-na // TILE_A) * TILE_A
+    pb = -(-nb // TILE_B) * TILE_B
+    bf = jnp.bfloat16
+    a = jnp.zeros((pa, 256), bf).at[:na].set(pm1_a.astype(bf))
+    b = jnp.zeros((pb, 256), bf).at[:nb].set(pm1_b.astype(bf))
+    a_aux = jnp.zeros((pa, 4), jnp.float32)
+    a_aux = a_aux.at[:na, 0].set(uv_a[:, 0].astype(jnp.float32))
+    a_aux = a_aux.at[:na, 1].set(uv_a[:, 1].astype(jnp.float32))
+    a_aux = a_aux.at[:na, 2].set(oct_a.astype(jnp.float32))
+    a_aux = a_aux.at[:na, 3].set(valid_a.astype(jnp.float32))
+    b_aux = jnp.full((pb, 4), -1.0, jnp.float32)
+    b_aux = b_aux.at[:nb, 0].set(uv_b[:, 0].astype(jnp.float32))
+    b_aux = b_aux.at[:nb, 1].set(uv_b[:, 1].astype(jnp.float32))
+    r_eff = jnp.where(valid_b, jnp.broadcast_to(
+        jnp.asarray(radius_b, jnp.float32), (nb,)), -1.0)
+    b_aux = b_aux.at[:nb, 2].set(r_eff)
+    b_aux = b_aux.at[:nb, 3].set(pred_b.astype(jnp.float32))
+
+    grid = (pa // TILE_A, pb // TILE_B)
+    out = pl.pallas_call(
+        functools.partial(_proj_match_kernel, level_window=level_window),
+        out_shape=jax.ShapeDtypeStruct((pa, 128), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_A, 256), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_A, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, 256), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, 4), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_A, 128), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(a, a_aux, b, b_aux)
+    best = out[:na, 0]
+    second = out[:na, 1]
+    idx = out[:na, 2].astype(jnp.int32)
+    ok = best <= max_dist
+    if ratio is not None:
+        ok = ok & (best < ratio * second)
+    return MatchResult(jnp.where(ok, idx, -1),
+                       jnp.where(ok, best, BIG), ok)

@@ -235,14 +235,21 @@ def match_map_points(
     # yet estimated (max_dist at its 1e9 init) keep the base radius
     r_scale = jnp.where(m.mp_max_dist < 1e8, sf_lut[pred], 1.0)
     r_pt = radius * r_scale                                # (P,) per-point radius
-    d_uv = jnp.abs(f.uv[:, None, :] - uv_proj[None, :, :])
-    compat = (d_uv[..., 0] <= r_pt[None, :]) & (d_uv[..., 1] <= r_pt[None, :])
-    if cfg.tracking.use_level_window:
-        d_oct = f.octave[:, None] - pred[None, :]
-        compat = compat & (d_oct >= -1) & (d_oct <= 1)
-    compat = compat & f.kp_valid[:, None] & vis[None, :]
     mp_pm1 = desc_pm1_from_packed(m.mp_desc)
-    res = matcher.match(f.desc_pm1, mp_pm1, compat, max_dist=max_dist)
+    if cfg.tracking.use_fused_matcher and jax.default_backend() == "tpu":
+        from fishbirdeyevisualslam_tpu.ops import pallas_matcher
+        res = pallas_matcher.fused_projection_match(
+            f.desc_pm1, f.uv, f.octave, f.kp_valid,
+            mp_pm1, uv_proj, r_pt, pred, vis,
+            max_dist=max_dist, level_window=bool(cfg.tracking.use_level_window))
+    else:
+        d_uv = jnp.abs(f.uv[:, None, :] - uv_proj[None, :, :])
+        compat = (d_uv[..., 0] <= r_pt[None, :]) & (d_uv[..., 1] <= r_pt[None, :])
+        if cfg.tracking.use_level_window:
+            d_oct = f.octave[:, None] - pred[None, :]
+            compat = compat & (d_oct >= -1) & (d_oct <= 1)
+        compat = compat & f.kp_valid[:, None] & vis[None, :]
+        res = matcher.match(f.desc_pm1, mp_pm1, compat, max_dist=max_dist)
     res = matcher.resolve_duplicates(res, P)
     return res, vis
 
@@ -259,10 +266,20 @@ def match_bird_points(m: ms.MapState, f: Frame, cfg: SystemConfig, Tcw_pred, can
     p_base = ipm_mod.cam_xyz_to_base(cfg.extrinsics, pc)
     uv_pred = ipm_mod.base_xy_to_bird_pixel(cfg.bird, p_base)
     vis = cand_mask & m.bp_valid & (jnp.abs(p_base[:, 2]) < cfg.bird.plane_gate)
-    compat = matcher.window_mask(f.bird_uv, uv_pred, 30.0)
-    compat = compat & f.bird_kp_valid[:, None] & vis[None, :]
     bp_pm1 = desc_pm1_from_packed(m.bp_desc)
-    res = matcher.match(f.bird_desc_pm1, bp_pm1, compat, max_dist=float(cfg.matcher.th_high))
+    if cfg.tracking.use_fused_matcher and jax.default_backend() == "tpu":
+        from fishbirdeyevisualslam_tpu.ops import pallas_matcher
+        res = pallas_matcher.fused_projection_match(
+            f.bird_desc_pm1, f.bird_uv, jnp.zeros_like(f.bird_octave),
+            f.bird_kp_valid,
+            bp_pm1, uv_pred, jnp.full((PB,), 30.0, jnp.float32),
+            jnp.zeros((PB,), jnp.float32), vis,
+            max_dist=float(cfg.matcher.th_high))
+    else:
+        compat = matcher.window_mask(f.bird_uv, uv_pred, 30.0)
+        compat = compat & f.bird_kp_valid[:, None] & vis[None, :]
+        res = matcher.match(f.bird_desc_pm1, bp_pm1, compat,
+                            max_dist=float(cfg.matcher.th_high))
     # 3D gate: coordinate-wise |bird_cam - predicted_cam| < 3*filter_size
     pc_of_match = pc[jnp.clip(res.idx, 0, PB - 1)]
     d = jnp.abs(f.bird_cam - pc_of_match)

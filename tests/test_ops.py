@@ -218,3 +218,25 @@ class TestMatcher:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestDescriptorSamplers:
+    def test_matmul_gather_parity(self):
+        # The MXU matmul sampler must reproduce the gather sampler exactly up
+        # to bf16 near-ties (v1 ~= v2 bits are noise in both implementations).
+        rng = np.random.RandomState(7)
+        patches = jnp.asarray(rng.rand(128, 31, 31).astype(np.float32) * 255)
+        angles = jnp.asarray(rng.rand(128).astype(np.float32) * 2 * np.pi)
+        b_gather = orb.descriptors(patches, angles, use_matmul=False)
+        b_matmul = orb.descriptors(patches, angles, use_matmul=True)
+        mismatch = np.mean(np.asarray(b_gather) != np.asarray(b_matmul))
+        assert mismatch < 0.01, mismatch
+
+    def test_bin_quantization(self):
+        # angles inside one bin produce identical descriptors
+        rng = np.random.RandomState(8)
+        patch = jnp.asarray(rng.rand(1, 31, 31).astype(np.float32) * 255)
+        step = 2 * np.pi / orb.N_ANGLE_BINS
+        b1 = orb.descriptors(patch, jnp.array([3 * step]), use_matmul=False)
+        b2 = orb.descriptors(patch, jnp.array([3 * step + 0.2 * step]), use_matmul=False)
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
