@@ -25,6 +25,7 @@ from fishbirdeyevisualslam_tpu.slam import tracking as tr
 from fishbirdeyevisualslam_tpu.slam import loop_closing as lc
 from fishbirdeyevisualslam_tpu.slam.frame import Frame, build_frame
 from fishbirdeyevisualslam_tpu.ops import bow as bow_ops
+from fishbirdeyevisualslam_tpu.io.tracing import Tracer
 
 
 @dataclasses.dataclass
@@ -63,6 +64,7 @@ class SlamSystem:
         self.trajectory: List[TrajectoryEntry] = []
         self._odom_history = {}  # frame trajectory index -> odom (pre-init backfill)
         self.frame_times: List[float] = []  # per-frame wall time (CalExTime analog)
+        self.tracer = Tracer()              # per-stage spans (SURVEY.md §5 tracing)
         self.loop_closer = lc.LoopCloser(cfg)
         self.enable_loop_closing = True
         self.n_loops_closed = 0
@@ -125,15 +127,16 @@ class SlamSystem:
         import time as _time
         _t0 = _time.perf_counter()
         self.frame_id += 1
-        f = build_frame(
-            jnp.asarray(front_gray, jnp.float32),
-            jnp.asarray(bird_gray, jnp.float32),
-            jnp.asarray(bird_mask),
-            jnp.asarray(odom, jnp.float32),
-            jnp.asarray(timestamp, jnp.float32),
-            self.cfg,
-            self.cfg.capacity.max_front_kp,
-        )
+        with self.tracer.span("frame_build"):
+            f = build_frame(
+                jnp.asarray(front_gray, jnp.float32),
+                jnp.asarray(bird_gray, jnp.float32),
+                jnp.asarray(bird_mask),
+                jnp.asarray(odom, jnp.float32),
+                jnp.asarray(timestamp, jnp.float32),
+                self.cfg,
+                self.cfg.capacity.max_front_kp,
+            )
         # merge a finished async mapping result at the frame boundary
         if self._pending_result is not None:
             m, kf_slot, closed = self._pending_result
@@ -142,11 +145,14 @@ class SlamSystem:
             if closed:
                 self.n_loops_closed += 1
         if self.state == tr.NOT_INITIALIZED:
-            Tcw = self._initialize(f)
+            with self.tracer.span("initialize"):
+                Tcw = self._initialize(f)
         elif self.state == tr.OK:
-            Tcw = self._track_ok(f)
+            with self.tracer.span("track"):
+                Tcw = self._track_ok(f)
         else:
-            Tcw = self._track_lost(f)
+            with self.tracer.span("track_lost"):
+                Tcw = self._track_lost(f)
         self.last_frame = f
         self.last_Tcw = Tcw
         self.frame_times.append(_time.perf_counter() - _t0)
@@ -520,6 +526,7 @@ class SlamSystem:
             "median_s": float(t[len(t) // 2]),
             "mean_s": float(t.mean()),
             "fps": float(1.0 / max(t.mean(), 1e-9)),
+            "stages": self.tracer.report(),
         }
 
     def keyframe_indices(self) -> np.ndarray:

@@ -75,16 +75,26 @@ def build_pose_graph_edges(
     loop_i, loop_j, loop_T,  # loop edges: (L,) + (L, 7) measured relative poses
     min_feat: int = 100,
 ):
-    """Edge set of the essential graph: consecutive-KF (spanning-tree analog,
-    the reference's tree is temporal-parent dominated), strong covisibility
-    (>= min_feat), bird-covisibility fallback for front-starved KFs, and the
-    provided loop edges."""
+    """Edge set of the essential graph: covisibility spanning tree, strong
+    covisibility (>= min_feat), bird-covisibility fallback for front-starved
+    KFs, and the provided loop edges."""
     K = poses_meas.shape[0]
     idx = jnp.arange(K, dtype=jnp.int32)
 
-    # consecutive chain (spanning tree analog)
-    ci = idx[:-1]
-    cj = idx[1:]
+    # spanning tree: parent(k) = earlier KF with max front covisibility
+    # (``KeyFrame::UpdateConnections``' ChangeParent target); orphans repaired
+    # by bird covisibility, then by the nearest earlier id — the reference's
+    # orphan repair in ``KeyFrame::UpdateBirdConnections`` (KeyFrame.cc:447-479)
+    earlier = (idx[None, :] < idx[:, None]) & kf_valid[None, :] & kf_valid[:, None]
+    wf = jnp.where(earlier, covis, -1)
+    wb = jnp.where(earlier, bird_covis, -1)
+    pf = jnp.argmax(wf, axis=1).astype(jnp.int32)
+    pb = jnp.argmax(wb, axis=1).astype(jnp.int32)
+    p_near = jnp.maximum(idx - 1, 0)
+    parent = jnp.where(jnp.max(wf, axis=1) > 0, pf,
+                       jnp.where(jnp.max(wb, axis=1) > 0, pb, p_near))
+    ci = idx[1:]
+    cj = parent[1:]
     cvalid = kf_valid[ci] & kf_valid[cj]
 
     # strong covisibility: for each KF, its best covisible partner >= min_feat

@@ -70,3 +70,29 @@ class TestPoseGraph:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestSpanningTree:
+    def test_parent_is_best_earlier_covisible(self):
+        from fishbirdeyevisualslam_tpu.solvers.pose_graph import build_pose_graph_edges
+        cfg = SystemConfig()
+        K = 5
+        poses = jnp.tile(se3.identity()[None], (K, 1))
+        covis = np.zeros((K, K), np.int32)
+        covis[3, 1] = covis[1, 3] = 40   # KF3's best earlier partner is KF1
+        covis[3, 2] = covis[2, 3] = 10
+        bird = np.zeros((K, K), np.int32)
+        bird[2, 0] = bird[0, 2] = 5      # KF2 has only a bird link, to KF0
+        valid = jnp.ones(K, bool)
+        no_loop = jnp.zeros((0,), jnp.int32)
+        edges = build_pose_graph_edges(
+            cfg, poses, jnp.asarray(covis), jnp.asarray(bird), valid,
+            no_loop, no_loop, jnp.zeros((0, 7)))
+        # first K-1 edges are the spanning tree (i = 1..K-1 -> parent)
+        tree_i = np.asarray(edges.i[: K - 1])
+        tree_j = np.asarray(edges.j[: K - 1])
+        tree = dict(zip(tree_i.tolist(), tree_j.tolist()))
+        assert tree[3] == 1          # covisibility parent
+        assert tree[2] == 0          # bird-covisibility repair
+        assert tree[1] == 0          # nearest-earlier fallback
+        assert tree[4] == 3          # nearest-earlier fallback
