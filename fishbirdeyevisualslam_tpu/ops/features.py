@@ -131,10 +131,14 @@ def _extract_level(img_l, cfg: OrbConfig, n_l: int, level: int):
     img_p = jnp.pad(img_l, ((pad, pad), (pad, pad)), mode="edge")
     side = orb_ops.PATCH + 2 * _BLUR_R
 
-    def patch(src, y, x):
-        return jax.lax.dynamic_slice(src, (y, x), (side, side))
-
-    patches37 = jax.vmap(lambda p: patch(img_p, p[0], p[1]))(yx)
+    if jax.default_backend() == "tpu":
+        # VMEM-resident gather kernel (6.7x the vmap(dynamic_slice) lowering)
+        from fishbirdeyevisualslam_tpu.ops.pallas_patch import extract_patches
+        patches37 = extract_patches(img_p, yx, side)
+    else:
+        patches37 = jax.vmap(
+            lambda p: jax.lax.dynamic_slice(img_p, (p[0], p[1]), (side, side))
+        )(yx)
     patches = patches37[:, _BLUR_R : _BLUR_R + orb_ops.PATCH,
                         _BLUR_R : _BLUR_R + orb_ops.PATCH]
     bpatches = _blur_patches(patches37)
