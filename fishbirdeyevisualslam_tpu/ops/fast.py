@@ -60,28 +60,35 @@ def _has_arc9(mask16):
     return (r9 & 0xFFFF) != 0
 
 
+def fast_score_maps(img, thresholds):
+    """Score/corner maps for several thresholds from ONE circle-diff stack
+    (the two-threshold detect shares the 16 rolled neighbor images)."""
+    img = img.astype(jnp.float32)
+    h, w = img.shape
+    circ = _circle_stack(img)
+    d = circ - img[None]
+    row = jnp.arange(h)[:, None]
+    col = jnp.arange(w)[None, :]
+    interior = (row >= 3) & (row < h - 3) & (col >= 3) & (col < w - 3)
+    out = []
+    for threshold in thresholds:
+        bright = d > threshold
+        dark = d < -threshold
+        corner = (_has_arc9(bright) | _has_arc9(dark)) & interior
+        score_b = jnp.sum(jnp.where(bright, d - threshold, 0.0), axis=0)
+        score_d = jnp.sum(jnp.where(dark, -d - threshold, 0.0), axis=0)
+        score = jnp.maximum(score_b, score_d)
+        out.append((jnp.where(corner, score, 0.0), corner))
+    return out
+
+
 def fast_score_map(img, threshold: float):
     """Returns (score, is_corner) maps, both (H, W) float32/bool.
 
     Score = max(sum of (d - t) over bright circle pixels, sum of (-d - t) over dark
     ones) — the common sum-of-absolute-difference FAST ranking score.
     """
-    img = img.astype(jnp.float32)
-    h, w = img.shape
-    circ = _circle_stack(img)
-    d = circ - img[None]
-    bright = d > threshold
-    dark = d < -threshold
-    corner = _has_arc9(bright) | _has_arc9(dark)
-    score_b = jnp.sum(jnp.where(bright, d - threshold, 0.0), axis=0)
-    score_d = jnp.sum(jnp.where(dark, -d - threshold, 0.0), axis=0)
-    score = jnp.maximum(score_b, score_d)
-    # mask the 3px wrap border
-    row = jnp.arange(h)[:, None]
-    col = jnp.arange(w)[None, :]
-    interior = (row >= 3) & (row < h - 3) & (col >= 3) & (col < w - 3)
-    corner = corner & interior
-    return jnp.where(corner, score, 0.0), corner
+    return fast_score_maps(img, (threshold,))[0]
 
 
 def nms3x3(score):
@@ -104,8 +111,7 @@ def detect(img, ini_threshold: float, min_threshold: float, with_raw: bool = Fal
     returns the pre-NMS low-threshold score map (for subpixel peak
     interpolation — the NMS'd map has zeroed neighborhoods).
     """
-    s_hi, _ = fast_score_map(img, ini_threshold)
-    s_lo, _ = fast_score_map(img, min_threshold)
+    (s_hi, _), (s_lo, _) = fast_score_maps(img, (ini_threshold, min_threshold))
     # strict corners dominate ranking; weak-only corners fill sparse regions
     score = jnp.where(s_hi > 0, s_hi + 1e4, s_lo)
     out = nms3x3(score)

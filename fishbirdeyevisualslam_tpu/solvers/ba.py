@@ -101,8 +101,14 @@ class _System(NamedTuple):
 
 
 def _accumulate_family(K, poses, e, Jc, Jp, w, kf_idx, lam_p):
-    """One family's contributions: returns (Hcc_add (K,K,6,6), bc_add (K,6),
-    Hpp (P,3,3) damped, bp (P,3), Hcp (P,M,6,3), Hpp_inv (P,3,3))."""
+    """One family's contributions: returns (Hcc_add (K,K,36) flat camera-block
+    Hessian, bc_add (K,6), Hpp_inv (P,3,3), bp (P,3), Hcp (P,M,6,3)).
+
+    TPU layout note: camera blocks are kept FLAT (..., 36) throughout — a
+    (..., 6, 6) trailing pair pads to the (8, 128) tile, a 28x memory
+    expansion (a (P,M,M,6,6) Schur pair tensor measured 16 GB padded for
+    576 MB of payload).  The pair terms additionally accumulate one source
+    slot m at a time under fori_loop, so the peak temp is (P,M,36)."""
     P, M = w.shape
     # camera diag blocks: sum_m Jc^T w Jc at (kf, kf).  Gradient convention:
     # we solve H dx = b with b = -J^T W e (residual e = obs - pred).
@@ -117,16 +123,22 @@ def _accumulate_family(K, poses, e, Jc, Jp, w, kf_idx, lam_p):
     )
     Hpp_inv = jnp.linalg.inv(Hpp_d + 1e-9 * jnp.eye(3))
 
-    # Schur cross terms: for each point, all (m, m') pairs
-    S = jnp.einsum("pmij,pjk,pnlk->pmnil", Hcp, Hpp_inv, Hcp)  # (P,M,M,6,6)
-    bs = jnp.einsum("pmij,pjk,pk->pmi", Hcp, Hpp_inv, bp)      # (P,M,6)
+    T = jnp.einsum("pmij,pjk->pmik", Hcp, Hpp_inv)          # (P,M,6,3)
+    bs = jnp.einsum("pmik,pk->pmi", T, bp)                  # (P,M,6)
 
-    Hcc = jnp.zeros((K, K, 6, 6))
     ii = kf_idx  # (P, M)
-    Hcc = Hcc.at[ii, ii].add(Hc_diag)
-    pair_i = jnp.broadcast_to(ii[:, :, None], (P, M, M))
-    pair_j = jnp.broadcast_to(ii[:, None, :], (P, M, M))
-    Hcc = Hcc.at[pair_i, pair_j].add(-S)
+    Hcc = jnp.zeros((K, K, 36))
+    Hcc = Hcc.at[ii, ii].add(Hc_diag.reshape(P, M, 36))
+    # Schur cross terms: slot m against all n, one m per iteration
+    T_by_m = jnp.moveaxis(T, 1, 0)        # (M, P, 6, 3)
+    ii_by_m = jnp.moveaxis(ii, 1, 0)      # (M, P)
+
+    def pair_body(Hcc, xs):
+        T_m, ii_m = xs
+        S_m = jnp.einsum("pik,pnlk->pnil", T_m, Hcp)        # (P,M,6,6)
+        return Hcc.at[ii_m[:, None], ii].add(-S_m.reshape(P, M, 36)), None
+
+    Hcc, _ = jax.lax.scan(pair_body, Hcc, (T_by_m, ii_by_m))
     bc = jnp.zeros((K, 6)).at[ii].add(bc_obs - bs)
     return Hcc, bc, Hpp_inv, bp, Hcp
 
@@ -139,26 +151,29 @@ def _odom_terms(K, poses, edges: OdomEdges, w_scale):
     Hij = jnp.einsum("eki,e,ekj->eij", J1, w, J2)
     bi = -jnp.einsum("eki,e,ek->ei", J1, w, e)
     bj = -jnp.einsum("eki,e,ek->ei", J2, w, e)
-    Hcc = jnp.zeros((K, K, 6, 6))
-    Hcc = Hcc.at[edges.i, edges.i].add(Hii)
-    Hcc = Hcc.at[edges.j, edges.j].add(Hjj)
-    Hcc = Hcc.at[edges.i, edges.j].add(Hij)
-    Hcc = Hcc.at[edges.j, edges.i].add(jnp.swapaxes(Hij, -1, -2))
+    E = edges.i.shape[0]
+    Hcc = jnp.zeros((K, K, 36))
+    Hcc = Hcc.at[edges.i, edges.i].add(Hii.reshape(E, 36))
+    Hcc = Hcc.at[edges.j, edges.j].add(Hjj.reshape(E, 36))
+    Hcc = Hcc.at[edges.i, edges.j].add(Hij.reshape(E, 36))
+    Hcc = Hcc.at[edges.j, edges.i].add(
+        jnp.swapaxes(Hij, -1, -2).reshape(E, 36))
     bc = jnp.zeros((K, 6)).at[edges.i].add(bi).at[edges.j].add(bj)
     chi2 = jnp.sum(e * e, axis=-1) * edges.info
     return Hcc, bc, chi2
 
 
 def _solve_reduced(Hcc, bc, fixed, lam_c):
-    """Dense solve of the reduced camera system with damping and gauge pinning."""
+    """Dense solve of the reduced camera system with damping and gauge pinning.
+    ``Hcc`` arrives flat (K, K, 36) — see _accumulate_family's layout note."""
     K = Hcc.shape[0]
     # Levenberg damping on the diagonal blocks
-    diag = jnp.einsum("kkij->kij", Hcc)
+    diag = Hcc[jnp.arange(K), jnp.arange(K)].reshape(K, 6, 6)
     damp = lam_c * jnp.eye(6) * jnp.maximum(
         jnp.trace(diag, axis1=-2, axis2=-1)[..., None, None] / 6.0, 1e-6
     )
-    Hcc = Hcc.at[jnp.arange(K), jnp.arange(K)].add(damp)
-    H = Hcc.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+    Hcc = Hcc.at[jnp.arange(K), jnp.arange(K)].add(damp.reshape(K, 36))
+    H = Hcc.reshape(K, K, 6, 6).transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
     b = bc.reshape(6 * K)
     # pin fixed poses: identity rows/cols, zero rhs
     fmask = jnp.repeat(fixed, 6)

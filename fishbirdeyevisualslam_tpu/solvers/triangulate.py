@@ -62,13 +62,52 @@ def triangulate(
     a1, a2 = rows(P1, uv1)
     a3, a4 = rows(P2, uv2)
     A = jnp.stack([a1, a2, a3, a4], axis=-2)  # (N, 4, 4)
-    # null vector of A: smallest right singular vector.  SVD of many 4x4s is
-    # cheap and batched; use eigh on A^T A for speed + determinism.
+    # row normalization: raw DLT rows mix pixel-scale (~1e3) and unit-scale
+    # entries, so kappa(A^T A) overwhelms f32 eigh on TPU (measured: drops
+    # ~1/3 of good points vs CPU).  Normalized rows + the GN polish below
+    # restore CPU-level acceptance in pure f32.
+    A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), 1e-12)
     AtA = jnp.einsum("nij,nik->njk", A, A)
     w, V = jnp.linalg.eigh(AtA)
     X_h = V[..., :, 0]  # eigenvector of smallest eigenvalue
     w_ok = jnp.abs(X_h[..., 3]) > 1e-9
     Xw = X_h[..., :3] / jnp.where(w_ok[..., None], X_h[..., 3:], 1.0)
+
+    # Gauss-Newton polish: 2 damped iterations on the two-view reprojection
+    # residual (4 residuals, 3 unknowns per point, batched 3x3 solves).  The
+    # DLT gives the basin; GN is locally quadratic, so f32 suffices where the
+    # global algebraic solve does not.
+    R1 = se3.quat_to_matrix(Tcw1[..., :4])
+    R2 = se3.quat_to_matrix(Tcw2[..., :4])
+
+    def gn_step(X):
+        H = jnp.zeros(X.shape[:-1] + (3, 3), X.dtype)
+        g = jnp.zeros(X.shape[:-1] + (3,), X.dtype)
+        err = jnp.zeros(X.shape[:-1], X.dtype)
+        for Tcw, R, uv in ((Tcw1, R1, uv1), (Tcw2, R2, uv2)):
+            p = se3.transform(Tcw, X)
+            z = jnp.where(jnp.abs(p[..., 2]) < 1e-6, 1e-6, p[..., 2])
+            eu = cam.fx * p[..., 0] / z + cam.cx - uv[..., 0]
+            ev = cam.fy * p[..., 1] / z + cam.cy - uv[..., 1]
+            # d(uv)/dp (2, 3) rows, then chain through R: J = Juv_p @ R
+            ju_p = jnp.stack([cam.fx / z, jnp.zeros_like(z),
+                              -cam.fx * p[..., 0] / (z * z)], axis=-1)
+            jv_p = jnp.stack([jnp.zeros_like(z), cam.fy / z,
+                              -cam.fy * p[..., 1] / (z * z)], axis=-1)
+            ju = jnp.einsum("...i,...ij->...j", ju_p, R)
+            jv = jnp.einsum("...i,...ij->...j", jv_p, R)
+            H = H + ju[..., :, None] * ju[..., None, :] \
+                  + jv[..., :, None] * jv[..., None, :]
+            g = g + ju * eu[..., None] + jv * ev[..., None]
+            err = err + eu * eu + ev * ev
+        lam = 1e-6 * (H[..., 0, 0] + H[..., 1, 1] + H[..., 2, 2]) + 1e-12
+        Hd = H + lam[..., None, None] * jnp.eye(3, dtype=X.dtype)
+        dx = jnp.linalg.solve(Hd, g[..., :, None])[..., 0]
+        X_new = X - dx
+        ok = jnp.all(jnp.isfinite(X_new), axis=-1)
+        return jnp.where(ok[..., None], X_new, X)
+
+    Xw = gn_step(gn_step(Xw))
 
     p1 = se3.transform(Tcw1, Xw)
     p2 = se3.transform(Tcw2, Xw)
