@@ -114,6 +114,29 @@ def ransac_fundamental(uv1, uv2, valid, key, n_iters: int = 200, sigma: float = 
     best = jnp.argmax(scores)
     F = Fs[best]
     score, inliers = _score_F(F, uv1, uv2, valid, sigma)
+
+    # all-inlier refit (masked rows contribute zero to A^T A), keep if better —
+    # recovers most of what f32 eigh loses on single 8-point samples (TPU) and
+    # beats the best minimal sample everywhere else
+    def refit(F, score, inliers):
+        w = inliers.astype(uv1.dtype)
+        u1, v1 = uv1n_all[:, 0], uv1n_all[:, 1]
+        u2, v2 = uv2n_all[:, 0], uv2n_all[:, 1]
+        one = jnp.ones_like(u1)
+        A = jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2,
+                       u1, v1, one], axis=-1) * w[:, None]
+        _, V = jnp.linalg.eigh(A.T @ A)
+        Fn = V[:, 0].reshape(3, 3)
+        U, s, Vt = jnp.linalg.svd(Fn)
+        Fn = (U * s.at[2].set(0.0)[None, :]) @ Vt
+        Fr = T2.T @ Fn @ T1
+        Fr = Fr / jnp.where(jnp.abs(Fr[2, 2]) < 1e-12, 1.0, Fr[2, 2])
+        score_r, inl_r = _score_F(Fr, uv1, uv2, valid, sigma)
+        better = score_r > score
+        return (jnp.where(better, Fr, F), jnp.where(better, score_r, score),
+                jnp.where(better, inl_r, inliers))
+
+    F, score, inliers = refit(*refit(F, score, inliers))
     return F, score, inliers
 
 
