@@ -206,7 +206,7 @@ class SlamSystem:
         # have moved meters before two-view init succeeded)
         ref_odom = self.ref_frame.odom
         for idx, e in enumerate(self.trajectory):
-            if e.ref_kf < 0:
+            if e.ref_kf == -1:  # -2 = frozen absolute from a pre-reset epoch
                 frame_odom = self._odom_history.get(idx)
                 if frame_odom is None:
                     continue
@@ -303,6 +303,13 @@ class SlamSystem:
         Tcw = out2.Tcw
 
         if n_in < 10:
+            if int(self.map.n_kf) <= 5 and not self.localization_only:
+                # lost with a barely-born map: full reset, like the reference's
+                # Track() (Tracking.cc:731-740) — re-initialization has nothing
+                # worth preserving yet
+                self.reset()
+                self._record(f, Tcw, False)
+                return Tcw
             self.state = tr.LOST
             self.n_lost_frames = 0
             self._record(f, Tcw, False)
@@ -492,6 +499,40 @@ class SlamSystem:
                 self.map = m
                 if closed:
                     self.n_loops_closed += 1
+
+    def reset(self):
+        """``System::Reset`` / ``Tracking::Reset``: drop the map and return to
+        NOT_INITIALIZED.  Already-recorded trajectory entries are frozen to
+        absolute poses first (their reference keyframes are being discarded);
+        ``ref_kf = -2`` marks them exempt from the next init's odometry
+        backfill."""
+        self.finish()
+        kf_Tcw = None if self.map is None else np.asarray(self.map.kf_Tcw)
+        for e in self.trajectory:
+            if e.ref_kf >= 0 and kf_Tcw is not None:
+                e.T_rel = np.asarray(
+                    se3.compose(jnp.asarray(e.T_rel), jnp.asarray(kf_Tcw[e.ref_kf])))
+            if e.ref_kf != -1:
+                e.ref_kf = -2
+        self.map = None
+        self.state = tr.NOT_INITIALIZED
+        self.ref_frame = None
+        self.ref_frame_id = -1
+        self.last_assoc = None
+        self.last_kf_slot = -1
+        self.last_kf_frame_id = -1
+        self.ref_kf_tracked = 0
+        self.n_lost_frames = 0
+        self.loop_closer = lc.LoopCloser(self.cfg)
+
+    def activate_localization_mode(self):
+        """``System::ActivateLocalizationMode``: stop inserting keyframes /
+        mapping; tracking continues against the frozen map."""
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        """``System::DeactivateLocalizationMode``: resume full SLAM."""
+        self.localization_only = False
 
     # ------------------------------------------------------------- trajectory
     def keyframe_trajectory_tum(self) -> str:

@@ -5,7 +5,7 @@ RANSAC + closed-form reconstruction:
 
   * normalized 8-point fundamental-matrix estimation over a fixed batch of RANSAC
     samples (the reference runs 200 iterations in a worker thread, ``:112-122``;
-    here all hypotheses are one batched eigh),
+    here all hypotheses are one batched QR+SVD nullspace solve),
   * symmetric epipolar chi2 scoring (``CheckFundamental``, th=3.841, score base
     5.991),
   * E = K^T F K decomposition into 4 (R, t) hypotheses (``DecomposeE``),
@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from fishbirdeyevisualslam_tpu.config import CameraConfig
 from fishbirdeyevisualslam_tpu.geometry import se3
+from fishbirdeyevisualslam_tpu.solvers.linalg import nullvec
 from fishbirdeyevisualslam_tpu.solvers.triangulate import triangulate
 
 
@@ -60,13 +61,13 @@ def _normalize(uv, valid):
 
 
 def _eight_point(uv1n, uv2n):
-    """F from >=8 normalized correspondences: nullvec of A^T A, then rank-2."""
+    """F from >=8 normalized correspondences: nullvec of A (QR+SVD — see
+    ``solvers.linalg``), then rank-2 projection."""
     u1, v1 = uv1n[:, 0], uv1n[:, 1]
     u2, v2 = uv2n[:, 0], uv2n[:, 1]
     one = jnp.ones_like(u1)
     A = jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, one], axis=-1)
-    _, V = jnp.linalg.eigh(A.T @ A)
-    F = V[:, 0].reshape(3, 3)
+    F = nullvec(A).reshape(3, 3)
     U, s, Vt = jnp.linalg.svd(F)
     F = (U * s.at[2].set(0.0)[None, :]) @ Vt
     return F
@@ -115,9 +116,8 @@ def ransac_fundamental(uv1, uv2, valid, key, n_iters: int = 200, sigma: float = 
     F = Fs[best]
     score, inliers = _score_F(F, uv1, uv2, valid, sigma)
 
-    # all-inlier refit (masked rows contribute zero to A^T A), keep if better —
-    # recovers most of what f32 eigh loses on single 8-point samples (TPU) and
-    # beats the best minimal sample everywhere else
+    # all-inlier refit (masked rows are zeroed), keep if better — tightens the
+    # best minimal-sample hypothesis everywhere
     def refit(F, score, inliers):
         w = inliers.astype(uv1.dtype)
         u1, v1 = uv1n_all[:, 0], uv1n_all[:, 1]
@@ -125,8 +125,7 @@ def ransac_fundamental(uv1, uv2, valid, key, n_iters: int = 200, sigma: float = 
         one = jnp.ones_like(u1)
         A = jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2,
                        u1, v1, one], axis=-1) * w[:, None]
-        _, V = jnp.linalg.eigh(A.T @ A)
-        Fn = V[:, 0].reshape(3, 3)
+        Fn = nullvec(A).reshape(3, 3)
         U, s, Vt = jnp.linalg.svd(Fn)
         Fn = (U * s.at[2].set(0.0)[None, :]) @ Vt
         Fr = T2.T @ Fn @ T1
@@ -150,8 +149,7 @@ def _dlt_homography(uv1n, uv2n):
     r1 = jnp.stack([zero, zero, zero, -u1, -v1, -one, v2 * u1, v2 * v1, v2], axis=-1)
     r2 = jnp.stack([u1, v1, one, zero, zero, zero, -u2 * u1, -u2 * v1, -u2], axis=-1)
     A = jnp.concatenate([r1, r2], axis=0)
-    _, V = jnp.linalg.eigh(A.T @ A)
-    return V[:, 0].reshape(3, 3)
+    return nullvec(A).reshape(3, 3)
 
 
 def _score_H(H, uv1, uv2, valid, sigma: float = 1.0):

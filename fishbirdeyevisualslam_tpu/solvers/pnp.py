@@ -22,6 +22,9 @@ import jax.numpy as jnp
 
 from fishbirdeyevisualslam_tpu.config import CameraConfig
 from fishbirdeyevisualslam_tpu.geometry import se3
+from fishbirdeyevisualslam_tpu.solvers.linalg import (
+    nullvec, smallest_right_singular_vectors,
+)
 
 
 class PnPResult(NamedTuple):
@@ -42,8 +45,7 @@ def _dlt_pose(cam: CameraConfig, Xw, uv):
     rows_u = jnp.concatenate([Xh, zeros, -x[:, None] * Xh], axis=-1)
     rows_v = jnp.concatenate([zeros, Xh, -y[:, None] * Xh], axis=-1)
     A = jnp.concatenate([rows_u, rows_v], axis=0)  # (2n, 12)
-    _, V = jnp.linalg.eigh(A.T @ A)
-    P = V[:, 0].reshape(3, 4)
+    P = nullvec(A).reshape(3, 4)
     M = P[:, :3]
     # sign: points must land in front (positive depth for the mean point)
     mean_depth = (M[2] @ Xw.mean(0) + P[2, 3])
@@ -63,16 +65,23 @@ def _dlt_pose(cam: CameraConfig, Xw, uv):
 _PAIRS = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
 
 
-def _epnp_pose(cam: CameraConfig, Xw, uv):
-    """EPnP closed form from >= 4 correspondences; returns Tcw (7,)."""
+def _epnp_pose(cam: CameraConfig, Xw, uv, w=None):
+    """EPnP closed form from >= 4 correspondences; returns Tcw (7,).
+
+    ``w``: optional (m,) weights — zero rows drop out of every solve, which is
+    how the all-inlier refit (the reference's ``PnPsolver::Refine``,
+    ``PnPsolver.cc:247-291``) reuses this under jit without dynamic shapes."""
     from fishbirdeyevisualslam_tpu.solvers.sim3_solver import horn_alignment
     from fishbirdeyevisualslam_tpu.geometry import sim3 as sim3_mod
 
     m = Xw.shape[0]
+    if w is None:
+        w = jnp.ones((m,), Xw.dtype)
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
     # 4 control points: centroid + principal axes (choose_control_points)
-    c0 = Xw.mean(axis=0)
-    Xc = Xw - c0
-    cov = Xc.T @ Xc / m
+    c0 = jnp.sum(Xw * w[:, None], axis=0) / wsum
+    Xc = (Xw - c0) * jnp.sqrt(w)[:, None]
+    cov = Xc.T @ Xc / wsum
     w_eval, w_evec = jnp.linalg.eigh(cov)  # ascending
     k = jnp.sqrt(jnp.maximum(w_eval, 1e-10))
     cws = jnp.stack([
@@ -96,9 +105,9 @@ def _epnp_pose(cam: CameraConfig, Xw, uv):
     Mv = jnp.concatenate([
         jnp.stack([zeros, alphas[:, j] * cam.fy, alphas[:, j] * (cam.cy - v)], -1)
         for j in range(4)], axis=-1)
-    M = jnp.concatenate([Mu, Mv], axis=0)  # (2m, 12)
-    _, V = jnp.linalg.eigh(M.T @ M)
-    vs = V[:, :4].T.reshape(4, 4, 3)  # 4 null-space candidates, each (4 ctrl, 3)
+    M = jnp.concatenate([Mu, Mv], axis=0) * jnp.tile(w, 2)[:, None]  # (2m, 12)
+    vs = smallest_right_singular_vectors(M, 4).reshape(4, 4, 3)
+    # 4 null-space candidates (smallest-first), each (4 ctrl, 3)
 
     # pairwise control-point squared distances in world
     dw2 = jnp.stack([jnp.sum((cws[i] - cws[j]) ** 2) for i, j in _PAIRS])
@@ -154,12 +163,12 @@ def _epnp_pose(cam: CameraConfig, Xw, uv):
         beta, _ = jax.lax.scan(gn_step, beta0, None, length=6)
         cc = ctrl_cam(beta)
         pc = alphas @ cc  # (m, 3) camera coords
-        flip = jnp.sign(jnp.sum(pc[:, 2]))
+        flip = jnp.sign(jnp.sum(pc[:, 2] * w))
         pc = pc * flip
-        S = horn_alignment(pc, Xw, fix_scale=True)
+        S = horn_alignment(pc, Xw, weights=w, fix_scale=True)
         T = sim3_mod.to_se3(S)
         e2 = _reproj_err(cam, T, Xw, uv)
-        return T, jnp.sum(e2)
+        return T, jnp.sum(e2 * w)
 
     Ts, errs = jax.vmap(refine_and_pose)(jnp.stack([beta_a, beta_b, beta_c]))
     best = jnp.argmin(errs)
@@ -201,4 +210,15 @@ def ransac_pnp(
     e2 = _reproj_err(cam, T, Xw, uv)
     inl = valid & (e2 < chi2_thresh * 4.0)
     n_in = jnp.sum(inl.astype(jnp.int32))
+
+    # all-inlier EPnP refit (the reference's PnPsolver::Refine), kept only if
+    # it does not lose inliers
+    T_r = _epnp_pose(cam, Xw, uv, w=inl.astype(Xw.dtype))
+    e2_r = _reproj_err(cam, T_r, Xw, uv)
+    inl_r = valid & (e2_r < chi2_thresh * 4.0)
+    n_r = jnp.sum(inl_r.astype(jnp.int32))
+    better = n_r >= n_in
+    T = jnp.where(better, T_r, T)
+    inl = jnp.where(better, inl_r, inl)
+    n_in = jnp.where(better, n_r, n_in)
     return PnPResult(T, inl, n_in, n_in >= min_inliers)

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from fishbirdeyevisualslam_tpu.config import CameraConfig
 from fishbirdeyevisualslam_tpu.geometry import se3
+from fishbirdeyevisualslam_tpu.solvers.linalg import nullvec
 
 
 class TriangulationResult(NamedTuple):
@@ -63,13 +64,13 @@ def triangulate(
     a3, a4 = rows(P2, uv2)
     A = jnp.stack([a1, a2, a3, a4], axis=-2)  # (N, 4, 4)
     # row normalization: raw DLT rows mix pixel-scale (~1e3) and unit-scale
-    # entries, so kappa(A^T A) overwhelms f32 eigh on TPU (measured: drops
-    # ~1/3 of good points vs CPU).  Normalized rows + the GN polish below
-    # restore CPU-level acceptance in pure f32.
+    # entries, so the nullspace solve needs balanced rows in f32 (measured:
+    # unbalanced rows drop ~1/3 of good points vs CPU).  The nullvector comes
+    # from batched QR+SVD (condition number not squared — solvers.linalg),
+    # and the GN polish below is locally quadratic, restoring CPU-level
+    # acceptance in pure f32.
     A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), 1e-12)
-    AtA = jnp.einsum("nij,nik->njk", A, A)
-    w, V = jnp.linalg.eigh(AtA)
-    X_h = V[..., :, 0]  # eigenvector of smallest eigenvalue
+    X_h = nullvec(A)
     w_ok = jnp.abs(X_h[..., 3]) > 1e-9
     Xw = X_h[..., :3] / jnp.where(w_ok[..., None], X_h[..., 3:], 1.0)
 
