@@ -157,11 +157,12 @@ class TrackingConfig:
     use_level_window: bool = False
     # Route projection-gated matching through the fused Pallas MXU kernel on
     # TPU (ops/pallas_matcher.fused_projection_match) — the (N_feat, N_points)
-    # distance matrix never touches HBM.  At the default sizes (2048 x 16384)
-    # the XLA matmul+top_k path measures equal-or-faster on v5e (184 vs 180
-    # fps full step), so this defaults OFF; flip it when the map store grows
-    # past HBM comfort.  Ignored on CPU (op-graph path).
-    use_fused_matcher: bool = False
+    # distance matrix never touches HBM.  Measured on v5e at the default sizes
+    # (2000 x 16384): 1.17 ms vs 1.66 ms/frame for the XLA matmul+top_k path
+    # (the gap opened once f32 matmuls run at true-f32 precision — the Pallas
+    # kernel's bf16 descriptor contraction is pinned and unaffected), so this
+    # defaults ON.  Ignored on CPU (op-graph path).
+    use_fused_matcher: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

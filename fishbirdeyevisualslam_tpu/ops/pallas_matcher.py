@@ -197,11 +197,15 @@ def _proj_match_kernel(a_pm1_ref, a_aux_ref, b_pm1_ref, b_aux_ref, out_ref,
 
     ta = a_pm1_ref.shape[0]
     tb = b_pm1_ref.shape[0]
-    # MXU: Hamming = (256 - A B^T) / 2 on +/-1 bf16 descriptors (exact in f32)
+    # MXU: Hamming = (256 - A B^T) / 2 on +/-1 bf16 descriptors (exact in f32).
+    # precision pinned to DEFAULT: the package-wide "highest" matmul precision
+    # would ask Mosaic for an fp32 contraction on bf16 vectors, which it rejects
+    # (and bf16 is already exact here).
     dot = jax.lax.dot_general(
         a_pm1_ref[:, :], b_pm1_ref[:, :],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     d = 0.5 * (256.0 - dot)
 

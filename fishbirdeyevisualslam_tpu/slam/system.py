@@ -303,6 +303,22 @@ class SlamSystem:
         Tcw = out2.Tcw
 
         if n_in < 10:
+            if self._pipeline is not None and (
+                    self._mapping_busy or self._pending_result is not None):
+                # Tracking starved while a mapping job was in flight: the live
+                # map is the stale pre-BA snapshot.  Drain the pipeline, merge
+                # the refined map, and retry the frame before declaring loss —
+                # the reference's Tracking holds mMutexMapUpdate for the whole
+                # frame (Tracking.cc:489) so it never races LocalMapping's
+                # writeback like this.
+                self._pipeline.flush()
+                if self._pending_result is not None:
+                    m_new, _, closed = self._pending_result
+                    self._pending_result = None
+                    self.map = m_new
+                    if closed:
+                        self.n_loops_closed += 1
+                return self._track_ok(f)
             if int(self.map.n_kf) <= 5 and not self.localization_only:
                 # lost with a barely-born map: full reset, like the reference's
                 # Track() (Tracking.cc:731-740) — re-initialization has nothing
@@ -388,19 +404,42 @@ class SlamSystem:
             cfg.extrinsics, self.last_Tcw, self.last_frame.odom, f.odom
         )
         self.n_lost_frames += 1
-        # TrackUsingBird: bird-only pose refinement against the bird local map.
-        # NOTE: unlike the reference (which continues as tracking-OK from it,
-        # Tracking.cc:554-562) we keep the LOST state: on texture-degenerate
-        # bird views the bird-only pose can alias with many false "inliers",
-        # and the odometry dead-reckoning below is the safer bridge.  Revisit
-        # when running on real contour-labeled bird data.
+        # TrackUsingBird (Tracking.cc:2014-2061): bird-only pose refinement
+        # against the bird local map.  Like the reference, the state stays LOST
+        # (Track() never sets bOK from it) — the bird pose only carries the
+        # frame estimate while re-init converges.
         bres = tr.match_bird_points(m, f, cfg, Tcw_pred, tr.bird_local_mask(m, cfg, Tcw_pred))
         Tcw = Tcw_pred
+        n_bird_avail = int(jnp.sum(tr.bird_local_mask(m, cfg, Tcw_pred)))
+        n_bird_matched = 0
         if int(bres.count) >= 10:
             bird_assoc = tr.TrackObs(jnp.full_like(self.last_assoc.mp_idx, -1), bres.idx)
             outb = tr.pose_opt_step(m, f, bird_assoc, cfg, Tcw_pred)
-            if int(outb.bird_inlier.sum()) >= 10:
+            n_bird_matched = int(outb.bird_inlier.sum())
+            if n_bird_matched >= 10:
                 Tcw = outb.Tcw
+        # BirdNeedKF (Tracking.cc:2063-2083): when matches cover <70% of the
+        # local bird map (or are nearly gone while points exist), extend the
+        # bird map with a keyframe from this frame — CreateNewKeyFrame is
+        # called even while LOST (Track(), :558-559).  Gated on n_kf > 5: in the
+        # reference, a LOST state with <=5 KFs resets the map before this branch
+        # can ever run (Tracking.cc:731-740), so bird KFs only extend mature
+        # maps — without the gate a dead-reckoned KF lands in a barely-born map
+        # and poisons re-initialization.
+        if (not self.localization_only
+                and int(m.n_kf) > 5
+                and int(m.n_kf) < cfg.capacity.max_keyframes - 2
+                and self.frame_id - self.last_kf_frame_id > 2
+                and (n_bird_matched < 0.7 * n_bird_avail
+                     or (n_bird_matched < 10 and n_bird_avail > 10))
+                and int(jnp.sum(f.bird_kp_valid)) >= 20):
+            assoc = tr.TrackObs(jnp.full_like(self.last_assoc.mp_idx, -1),
+                                jnp.where(bres.idx >= 0, bres.idx, -1))
+            slot = int(m.n_kf)
+            m = tr.insert_keyframe(m, f, assoc, Tcw, cfg, jnp.int32(self.frame_id))
+            self.map = m
+            self.last_kf_slot = slot
+            self.last_kf_frame_id = self.frame_id
 
         # relocalization (DBoW-style candidates + PnP, Tracking.cc:2231-2392)
         if int(m.n_kf) >= 2:

@@ -212,13 +212,15 @@ def ransac_pnp(
     n_in = jnp.sum(inl.astype(jnp.int32))
 
     # all-inlier EPnP refit (the reference's PnPsolver::Refine), kept only if
-    # it does not lose inliers
-    T_r = _epnp_pose(cam, Xw, uv, w=inl.astype(Xw.dtype))
-    e2_r = _reproj_err(cam, T_r, Xw, uv)
-    inl_r = valid & (e2_r < chi2_thresh * 4.0)
-    n_r = jnp.sum(inl_r.astype(jnp.int32))
-    better = n_r >= n_in
-    T = jnp.where(better, T_r, T)
-    inl = jnp.where(better, inl_r, inl)
-    n_in = jnp.where(better, n_r, n_in)
+    # it does not lose inliers; two re-gate->refit rounds — the second round
+    # re-solves on the (usually larger) inlier set the first round recovered
+    for _ in range(2):
+        T_r = _epnp_pose(cam, Xw, uv, w=inl.astype(Xw.dtype))
+        e2_r = _reproj_err(cam, T_r, Xw, uv)
+        inl_r = valid & (e2_r < chi2_thresh * 4.0)
+        n_r = jnp.sum(inl_r.astype(jnp.int32))
+        better = n_r >= n_in
+        T = jnp.where(better, T_r, T)
+        inl = jnp.where(better, inl_r, inl)
+        n_in = jnp.where(better, n_r, n_in)
     return PnPResult(T, inl, n_in, n_in >= min_inliers)

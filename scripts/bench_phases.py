@@ -93,9 +93,10 @@ def undistort(c, i):
     return c + jnp.sum(uv) * 1e-20
 t_u = stream_timer(undistort, "fisheye undistort ")
 
-# phase 4: pose opt
-front = FrontObs(Xw=map_pos[:2048], uv=uv0, inv_sigma2=jnp.ones(2048), valid=jnp.ones(2048, bool))
-bird = BirdObs(Xw=bp_pos[:2048], Xc=bp_pos[:2048], inv_sigma2=jnp.ones(2048), valid=jnp.ones(2048, bool))
+# phase 4: pose opt (observation count = extracted keypoint count)
+n_obs = uv0.shape[0]
+front = FrontObs(Xw=map_pos[:n_obs], uv=uv0, inv_sigma2=jnp.ones(n_obs), valid=jnp.ones(n_obs, bool))
+bird = BirdObs(Xw=bp_pos[:n_obs], Xc=bp_pos[:n_obs], inv_sigma2=jnp.ones(n_obs), valid=jnp.ones(n_obs, bool))
 
 def pose(c, i):
     out = pose_optimization(cam, cfg.ba, Tcw + c * 0, front, bird)

@@ -1,0 +1,48 @@
+"""Robustness oracle: long noisy-odometry circle on CPU (the hardening metric
+tracked in STATUS.md).  Prints lost frames, keyframes, ATE for SLAM vs
+odometry-only dead reckoning."""
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ["JAX_PLATFORMS"] = "cpu"
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/fbev_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from fishbirdeyevisualslam_tpu.config import SystemConfig
+from fishbirdeyevisualslam_tpu.io import synthetic
+from fishbirdeyevisualslam_tpu.io.evaluate import ate_rmse_vs_gt
+from fishbirdeyevisualslam_tpu.geometry import odometry as odo, ipm, se3
+from fishbirdeyevisualslam_tpu.slam.system import SlamSystem
+
+
+def run(n_frames=80, kind="circle", noise=0.02, seed=0):
+    cfg = SystemConfig()
+    seq = synthetic.make_sequence(cfg, n_frames=n_frames, kind=kind,
+                                  odom_noise=noise, seed=seed)
+    sys_ = SlamSystem(cfg)
+    for i, fr in enumerate(seq.frames):
+        sys_.track(fr["front"], fr["bird"], fr["mask"], seq.odom[i], fr["timestamp"])
+    sys_.finish()
+    states = [e.state for e in sys_.trajectory]
+    est = sys_.frame_trajectory_Twb()
+    ate = ate_rmse_vs_gt(est, seq.gt)
+    # odometry dead-reckoning baseline
+    import jax.numpy as jnp
+    dead = np.stack([np.asarray(odo.se2_to_se3(jnp.asarray(o))) for o in seq.odom])
+    ate_odo = ate_rmse_vs_gt(dead, seq.gt)
+    print(f"kind={kind} n={n_frames} noise={noise} seed={seed}: "
+          f"lost={sum(s == 3 for s in states)} kf={int(sys_.map.n_kf) if sys_.map is not None else 0} "
+          f"loops={sys_.n_loops_closed} ATE={float(ate):.3f} m (odom-only {float(ate_odo):.3f} m)")
+    return float(ate)
+
+
+if __name__ == "__main__":
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=80)
+    p.add_argument("--kind", default="circle")
+    p.add_argument("--noise", type=float, default=0.02)
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args()
+    run(a.frames, a.kind, a.noise, a.seed)
