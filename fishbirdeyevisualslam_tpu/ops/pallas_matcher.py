@@ -221,14 +221,18 @@ def _proj_match_kernel(a_pm1_ref, a_aux_ref, b_pm1_ref, b_aux_ref, out_ref,
     if level_window:
         doct = a_aux_ref[:, 2][:, None] - b_aux_ref[:, 3][None, :]
         ok = ok & (doct >= -1.0) & (doct <= 1.0)
-    d = jnp.where(ok, d, BIG)
 
-    # tile-local best + second, then merge into the running (b1, b2, bi)
-    t1 = jnp.min(d, axis=1)
-    ti = jnp.argmin(d, axis=1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (ta, tb), 1)
-    t2 = jnp.min(jnp.where(col == ti[:, None], BIG, d), axis=1)
-    t_idx = (ti + j * tb).astype(jnp.float32)
+    # tile-local best + second via packed min: p = d * 2^13 + col is exact in
+    # f32 (d integer <= 257*2^13 < 2^24), so ONE min reduction yields both the
+    # best distance and its column — no argmin pass over the (ta, tb) tile.
+    col = jax.lax.broadcasted_iota(jnp.int32, (ta, tb), 1).astype(jnp.float32)
+    p = jnp.where(ok, d * 8192.0 + col, BIG)
+    p1 = jnp.min(p, axis=1)
+    t1 = jnp.where(p1 >= BIG, BIG, jnp.floor(p1 / 8192.0))
+    ti = p1 - jnp.floor(p1 / 8192.0) * 8192.0
+    p2 = jnp.min(jnp.where(col == ti[:, None], BIG, p), axis=1)
+    t2 = jnp.where(p2 >= BIG, BIG, jnp.floor(p2 / 8192.0))
+    t_idx = ti + (j * tb).astype(jnp.float32)
 
     b1 = out_ref[:, 0]
     b2 = out_ref[:, 1]
@@ -237,15 +241,25 @@ def _proj_match_kernel(a_pm1_ref, a_aux_ref, b_pm1_ref, b_aux_ref, out_ref,
     loser = jnp.where(take_new, b1, t1)
     out_ref[:, 0] = jnp.minimum(b1, t1)
     out_ref[:, 1] = jnp.minimum(jnp.minimum(b2, t2), loser)
-    out_ref[:, 2] = jnp.where(take_new, t_idx, bi)
+    out_ref[:, 2] = jnp.where(take_new & (t1 < BIG), t_idx, bi)
+
+
+# Tile sizes for the MXU projection matcher, swept on v5e at (2048 x 16384):
+# (256,512) 0.98 ms, (512,1024) 0.58, (1024,1024) 0.51, (1024,2048) 0.49 ms
+# (grid-step overhead amortizes with bigger tiles; (2048,2048) overflows VMEM —
+# the f32 distance tile alone is 16 MB).
+PROJ_TILE_A = 1024
+PROJ_TILE_B = 2048
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("level_window", "ratio", "interpret"))
+                   static_argnames=("level_window", "ratio", "interpret",
+                                    "tile_a", "tile_b"))
 def fused_projection_match(pm1_a, uv_a, oct_a, valid_a,
                            pm1_b, uv_b, radius_b, pred_b, valid_b,
                            max_dist, level_window: bool = False,
-                           ratio=None, interpret: bool = False):
+                           ratio=None, interpret: bool = False,
+                           tile_a: int = PROJ_TILE_A, tile_b: int = PROJ_TILE_B):
     """Fused ``matcher.match`` for projection-gated problems.
 
     pm1_a (Na, 256) +/-1, uv_a (Na, 2), oct_a (Na,), valid_a (Na,) bool;
@@ -257,8 +271,13 @@ def fused_projection_match(pm1_a, uv_a, oct_a, valid_a,
     from fishbirdeyevisualslam_tpu.ops.matcher import MatchResult
 
     na, nb = pm1_a.shape[0], pm1_b.shape[0]
-    pa = -(-na // TILE_A) * TILE_A
-    pb = -(-nb // TILE_B) * TILE_B
+    # clamp tiles for small problems (alignment: sublane 8, lane 128); the
+    # packed (d * 8192 + col) tile reduction needs col < 8192
+    tile_a = min(tile_a, -(-na // 8) * 8)
+    tile_b = min(tile_b, -(-nb // 128) * 128)
+    assert tile_b <= 8192, "packed top-2 reduction requires tile_b <= 8192"
+    pa = -(-na // tile_a) * tile_a
+    pb = -(-nb // tile_b) * tile_b
     bf = jnp.bfloat16
     a = jnp.zeros((pa, 256), bf).at[:na].set(pm1_a.astype(bf))
     b = jnp.zeros((pb, 256), bf).at[:nb].set(pm1_b.astype(bf))
@@ -275,19 +294,21 @@ def fused_projection_match(pm1_a, uv_a, oct_a, valid_a,
     b_aux = b_aux.at[:nb, 2].set(r_eff)
     b_aux = b_aux.at[:nb, 3].set(pred_b.astype(jnp.float32))
 
-    grid = (pa // TILE_A, pb // TILE_B)
+    grid = (pa // tile_a, pb // tile_b)
     out = pl.pallas_call(
         functools.partial(_proj_match_kernel, level_window=level_window),
         out_shape=jax.ShapeDtypeStruct((pa, 128), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_A, 256), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_A, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, 256), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, 4), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_a, 256), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_a, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 256), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 4), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_A, 128), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((tile_a, 128), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(a, a_aux, b, b_aux)
     best = out[:na, 0]
