@@ -139,6 +139,10 @@ class TrackingConfig:
     """Tracking policy constants (reference ``src/Tracking.cc``)."""
 
     min_init_matches: int = 100       # SearchForInitialization gate (Tracking.cc:864)
+    # bird-seeded init fallback (EXTENSION, slam.tracking.bird_seeded_init):
+    # minimum 3D-consistent bird matches to bootstrap a map from the bird view
+    # when both front inits fail; 0 disables the fallback
+    min_bird_init_matches: int = 40
     min_track_matches: int = 20       # motion-model match gate
     min_inliers_ok: int = 30          # TrackLocalMap success (relaxed 10 after reloc)
     max_local_keyframes: int = 80     # local map KF cap (Tracking.cc:2175)

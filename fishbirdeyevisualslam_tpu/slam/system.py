@@ -68,6 +68,10 @@ class SlamSystem:
         self.loop_closer = lc.LoopCloser(cfg)
         self.enable_loop_closing = True
         self.n_loops_closed = 0
+        # (Tcw, odom) of the last pose before a reset: the next init chains its
+        # world gauge onto the dead-reckoned continuation of this pose so the
+        # exported trajectory stays in ONE world frame across resets
+        self._reset_anchor = None
         self._key = jax.random.PRNGKey(7)
         # --- async mapping (the reference's LocalMapping thread, System.cc:97-98)
         # Mapping work runs in a native pipeline stage on a map SNAPSHOT while
@@ -168,25 +172,36 @@ class SlamSystem:
             return se3.identity()
         res = tr.match_for_init(self.ref_frame, f, cfg)
         n = int(res.count)
-        if n < cfg.tracking.min_init_matches:
-            # not enough matches: restart from this frame (Tracking.cc:854-861)
-            self.ref_frame = f
-            self.ref_frame_id = self.frame_id
-            self._record(f, se3.identity(), False)
-            return se3.identity()
         T21_odom = self._odom_T21(self.ref_frame, f)
-        P = cfg.capacity.max_front_kp
-        uv2 = jnp.where(res.ok[:, None], f.uv[jnp.clip(res.idx, 0, P - 1)], 0.0)
-        init_out = tr.init_mod.initialize(
-            cfg.camera, self.ref_frame.uv, uv2, res.ok, T21_odom, self._next_key(),
-            loose_couple=cfg.flags.loose_couple,
-        )
-        if not bool(init_out.success) and cfg.flags.loose_couple:
-            # planar/degenerate-F scenes: fall back to the odometry-rotation
-            # hypothesis (the ReInitconstructF path) instead of the H model
-            init_out = tr.init_mod.reinitialize(
+        bird_ok = cfg.flags.have_bird and cfg.tracking.min_bird_init_matches > 0
+        init_out = None
+        if n < cfg.tracking.min_init_matches:
+            # not enough front matches (Tracking.cc:854-861).  Before restarting
+            # the pair, try the bird-seeded bootstrap — texture-poor FRONT
+            # imagery says nothing about the bird view
+            if bird_ok:
+                init_out, _ = tr.bird_seeded_init(self.ref_frame, f, cfg, res, T21_odom)
+            if init_out is None or not bool(init_out.success):
+                self.ref_frame = f
+                self.ref_frame_id = self.frame_id
+                self._record(f, se3.identity(), False)
+                return se3.identity()
+        if init_out is None:
+            P = cfg.capacity.max_front_kp
+            uv2 = jnp.where(res.ok[:, None], f.uv[jnp.clip(res.idx, 0, P - 1)], 0.0)
+            init_out = tr.init_mod.initialize(
                 cfg.camera, self.ref_frame.uv, uv2, res.ok, T21_odom, self._next_key(),
+                loose_couple=cfg.flags.loose_couple,
             )
+            if not bool(init_out.success) and cfg.flags.loose_couple:
+                # planar/degenerate-F scenes: fall back to the odometry-rotation
+                # hypothesis (the ReInitconstructF path) instead of the H model
+                init_out = tr.init_mod.reinitialize(
+                    cfg.camera, self.ref_frame.uv, uv2, res.ok, T21_odom, self._next_key(),
+                )
+            if not bool(init_out.success) and bird_ok:
+                # front epipolar geometry failed both ways: bird-seeded bootstrap
+                init_out, _ = tr.bird_seeded_init(self.ref_frame, f, cfg, res, T21_odom)
         if not bool(init_out.success):
             self._record(f, se3.identity(), False)
             return se3.identity()
@@ -196,6 +211,16 @@ class SlamSystem:
         )
         # initial global BA (GlobalBundleAdjustemntWithOdom(map, 20), Tracking.cc:994)
         m = tr.local_ba(m, cfg, jnp.int32(1))
+        if self._reset_anchor is not None:
+            # chain this submap's gauge onto the dead-reckoned continuation of
+            # the pre-reset pose (odometry is an absolute SE2 stream, so the
+            # motion prior bridges the uninitialized gap exactly)
+            aT, aodom = self._reset_anchor
+            self._reset_anchor = None
+            Tcw1 = odo.motion_prior_Tcw(
+                cfg.extrinsics, jnp.asarray(aT), jnp.asarray(aodom),
+                self.ref_frame.odom)
+            m = tr.apply_world_gauge(m, Tcw1)
         self.map = m
         self.state = tr.OK
         self.last_kf_slot = 1
@@ -546,6 +571,9 @@ class SlamSystem:
         ``ref_kf = -2`` marks them exempt from the next init's odometry
         backfill."""
         self.finish()
+        if getattr(self, "last_Tcw", None) is not None and self.last_frame is not None:
+            self._reset_anchor = (np.asarray(self.last_Tcw),
+                                  np.asarray(self.last_frame.odom))
         kf_Tcw = None if self.map is None else np.asarray(self.map.kf_Tcw)
         for e in self.trajectory:
             if e.ref_kf >= 0 and kf_Tcw is not None:

@@ -109,6 +109,68 @@ def _write_kf(m: ms.MapState, slot, f: Frame, Tcw, is_init, frame_id) -> ms.MapS
     )
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def bird_seeded_init(f1: Frame, f2: Frame, cfg: SystemConfig, res_front,
+                     T21_odom):
+    """Two-view init seeded by the BIRD view (EXTENSION beyond the reference):
+    when both F/H init and odometry-rotation re-init fail — texture-poor front
+    imagery leaves too few epipolar inliers — the bird keypoints still carry
+    exact metric 3D (IPM back-projection).  The relative pose is solved closed
+    form (Horn) from matched bird points of the two frames, and front matches
+    are triangulated under it.  This is the init-time analog of the reference's
+    TrackUsingBird bridge (``Tracking.cc:2014-2061``), which keeps the bird map
+    carrying the pose while the front re-init converges — here there is no map
+    yet, so the bird geometry must BOOTSTRAP one.
+
+    Returns (InitResult, n_bird_inliers)."""
+    from fishbirdeyevisualslam_tpu.solvers.sim3_solver import horn_alignment
+    from fishbirdeyevisualslam_tpu.geometry import sim3 as sim3_mod
+
+    FB = f1.bird_uv.shape[0]
+    T12_b = odo.preintegrate_base(f1.odom, f2.odom)
+    bres = match_bird_frames(f1, cfg, f2, T12_b)
+    idx = jnp.clip(bres.idx, 0, FB - 1)
+    # 3D-consistency gate under the odometry transform (FilterBirdOutlier's rule)
+    p2_in_1 = se3.transform(T12_b, f2.bird_base)
+    d = jnp.linalg.norm(f1.bird_base - p2_in_1[idx], axis=-1)
+    ok3d = bres.ok & (d < 0.15)
+    n_bird = jnp.sum(ok3d.astype(jnp.int32))
+    # Horn: T21 maps camera-1 points to camera-2 points
+    w = ok3d.astype(jnp.float32)
+    S = horn_alignment(f2.bird_cam[idx], f1.bird_cam, weights=w, fix_scale=True)
+    T21 = sim3_mod.to_se3(S)
+    # triangulate the front matches under the bird pose (may be few — the bird
+    # points carry the map; front points accrue once texture returns)
+    R = se3.quat_to_matrix(T21[:4])
+    t = T21[4:]
+    P = f1.uv.shape[0]
+    uv2 = jnp.where(res_front.ok[:, None],
+                    f2.uv[jnp.clip(res_front.idx, 0, P - 1)], 0.0)
+    nF, maskF, triF = init_mod._census(
+        cfg.camera, R, t, f1.uv, uv2, res_front.ok, 1.0)
+    success = n_bird >= cfg.tracking.min_bird_init_matches
+    return init_mod.InitResult(success, T21, triF.Xw, maskF & success, nF), n_bird
+
+
+@jax.jit
+def apply_world_gauge(m: ms.MapState, Tcw1) -> ms.MapState:
+    """Re-express a map whose gauge is its first camera frame (KF0 = identity)
+    in a world where that camera has pose ``Tcw1``.
+
+    Used to chain a post-reset submap onto the dead-reckoned continuation of
+    the previous one.  The reference clears its whole trajectory on reset
+    (``Tracking::Reset``) and restarts the world from scratch; keeping one
+    continuous world frame across resets makes the exported per-frame
+    trajectory (and ATE against it) meaningful."""
+    Twc1 = se3.inverse(Tcw1)
+    return m._replace(
+        kf_Tcw=jax.vmap(lambda T: se3.compose(T, Tcw1))(m.kf_Tcw),
+        mp_pos=se3.transform(Twc1, m.mp_pos),
+        bp_pos=se3.transform(Twc1, m.bp_pos),
+        mp_normal=se3.quat_rotate(Twc1[:4], m.mp_normal),
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def create_initial_map(
     f1: Frame, f2: Frame, init_out, cfg: SystemConfig,
