@@ -64,7 +64,11 @@ def orientations(patches):
     return jnp.arctan2(m01, m10)
 
 
-N_ANGLE_BINS = 64  # steered-BRIEF rotation quantization (ORB paper uses 30)
+# Steered-BRIEF rotation quantization.  The ORB paper (and the reference's
+# 2*pi/30 steering) uses 30 bins = 12 deg; 32 keeps that granularity at a
+# power of two.  Bin count scales the descriptor matmul below linearly — at 64
+# bins it measured 0.75 ms/frame of the tracking step on v5e, at 32 half that.
+N_ANGLE_BINS = 32
 
 
 @functools.lru_cache(maxsize=4)
