@@ -132,54 +132,87 @@ def _blur_patches(patches37):
                for i in range(2 * _BLUR_R + 1))
 
 
-def _extract_level(img_l, cfg: OrbConfig, n_l: int, level: int):
+def _detect_level(img_l, cfg: OrbConfig, n_l: int):
+    """Per-level detection + selection: (yx, resp, valid, sub_dy, sub_dx)."""
     score, raw = fast_ops.detect(img_l, float(cfg.ini_th_fast),
                                  float(cfg.min_th_fast), with_raw=True)
     margin = orb_ops.HALF + 1
     yx, resp = _select_grid_topk(score, n_l, cfg.grid_cell, margin)
     valid = resp > 0.0
     sub_dy, sub_dx = _subpixel_offsets(raw, yx)
-
-    pad = orb_ops.HALF + _BLUR_R
-    img_p = jnp.pad(img_l, ((pad, pad), (pad, pad)), mode="edge")
-    side = orb_ops.PATCH + 2 * _BLUR_R
-
-    if jax.default_backend() == "tpu":
-        # VMEM-resident gather kernel (6.7x the vmap(dynamic_slice) lowering)
-        from fishbirdeyevisualslam_tpu.ops.pallas_patch import extract_patches
-        patches37 = extract_patches(img_p, yx, side)
-    else:
-        patches37 = jax.vmap(
-            lambda p: jax.lax.dynamic_slice(img_p, (p[0], p[1]), (side, side))
-        )(yx)
-    patches = patches37[:, _BLUR_R : _BLUR_R + orb_ops.PATCH,
-                        _BLUR_R : _BLUR_R + orb_ops.PATCH]
-    bpatches = _blur_patches(patches37)
-    ang = orb_ops.orientations(patches)
-    bits = orb_ops.descriptors(bpatches, ang)
-    packed = orb_ops.pack_bits(bits)
-    pm1 = orb_ops.bits_to_pm1(bits)
-    sc = float(cfg.scale_factor) ** level
-    xy0 = jnp.stack([yx[:, 1].astype(jnp.float32) + sub_dx,
-                     yx[:, 0].astype(jnp.float32) + sub_dy], axis=-1) * sc
-    lvl = jnp.full((n_l,), level, dtype=jnp.int32)
-    # zero out invalid slots' descriptors so they never match anything real
-    packed = jnp.where(valid[:, None], packed, 0)
-    pm1 = jnp.where(valid[:, None], pm1, jnp.zeros_like(pm1))
-    return Keypoints(xy0, jnp.where(valid, resp, 0.0), ang, lvl, valid, packed, pm1)
+    return yx, resp, valid, sub_dy, sub_dx
 
 
 def _extract_impl(img, cfg: OrbConfig, n_features: int, detection_mask=None) -> Keypoints:
     """Extract exactly ``n_features`` (padded) ORB keypoints from a grayscale
     float32 (H, W) image.  ``detection_mask`` (H, W) bool, if given, suppresses
     detections outside it (the reference applies front masks and the bird-view
-    freespace mask, ``mono_encoder.cc:144-158``, ``Frame.cc:337-339``)."""
+    freespace mask, ``mono_encoder.cc:144-158``, ``Frame.cc:337-339``).
+
+    All pyramid levels share ONE patch gather and ONE descriptor pipeline: the
+    padded level images are stacked vertically into a single atlas, keypoint
+    rows are offset into it, and the (N_total, 37, 37) patch batch flows
+    through blur/orientation/rBRIEF once — 2 patch-kernel launches per frame
+    instead of 16, and the descriptor matmul runs at full batch (8 skinny
+    per-level matmuls starved the MXU)."""
     budgets = image_ops.per_level_budget(n_features, cfg.n_levels, cfg.scale_factor)
     pyr = image_ops.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
-    parts: List[Keypoints] = []
-    for lvl in range(cfg.n_levels):
-        parts.append(_extract_level(pyr[lvl], cfg, budgets[lvl], lvl))
-    kp = Keypoints(*[jnp.concatenate([getattr(p, f) for p in parts], axis=0) for f in Keypoints._fields])
+    pad = orb_ops.HALF + _BLUR_R
+    side = orb_ops.PATCH + 2 * _BLUR_R
+
+    sels = [_detect_level(pyr[l], cfg, budgets[l]) for l in range(cfg.n_levels)]
+
+    # --- vertical atlas of edge-padded level images (static layout)
+    shapes = [(p.shape[0] + 2 * pad, p.shape[1] + 2 * pad) for p in pyr]
+    atlas_w = max(w for _, w in shapes)
+    offs = []
+    off = 0
+    for h, _ in shapes:
+        offs.append(off)
+        off += h
+    atlas = jnp.zeros((off, atlas_w), img.dtype)
+    for l in range(cfg.n_levels):
+        img_p = jnp.pad(pyr[l], ((pad, pad), (pad, pad)), mode="edge")
+        atlas = jax.lax.dynamic_update_slice(atlas, img_p, (offs[l], 0))
+
+    yx_all = jnp.concatenate([
+        sels[l][0] + jnp.asarray([offs[l], 0], jnp.int32)[None, :]
+        for l in range(cfg.n_levels)], axis=0)
+
+    if jax.default_backend() == "tpu":
+        # VMEM-resident gather kernel (6.7x the vmap(dynamic_slice) lowering)
+        from fishbirdeyevisualslam_tpu.ops.pallas_patch import extract_patches
+        patches37 = extract_patches(atlas, yx_all, side)
+    else:
+        patches37 = jax.vmap(
+            lambda p: jax.lax.dynamic_slice(atlas, (p[0], p[1]), (side, side))
+        )(yx_all)
+
+    patches = patches37[:, _BLUR_R: _BLUR_R + orb_ops.PATCH,
+                        _BLUR_R: _BLUR_R + orb_ops.PATCH]
+    ang = orb_ops.orientations(patches)
+    if jax.default_backend() == "tpu":
+        # blur folded into the sampling matmul (orb.descriptors_from_raw37):
+        # the runtime 7-tap blur + bf16 reshape chain measured ~0.35 ms/frame
+        bits = orb_ops.descriptors_from_raw37(patches37, ang)
+    else:
+        bits = orb_ops.descriptors(_blur_patches(patches37), ang)
+    packed = orb_ops.pack_bits(bits)
+    pm1 = orb_ops.bits_to_pm1(bits)
+
+    xy0 = jnp.concatenate([
+        jnp.stack([sels[l][0][:, 1].astype(jnp.float32) + sels[l][4],
+                   sels[l][0][:, 0].astype(jnp.float32) + sels[l][3]], axis=-1)
+        * (float(cfg.scale_factor) ** l)
+        for l in range(cfg.n_levels)], axis=0)
+    resp = jnp.concatenate([sels[l][1] for l in range(cfg.n_levels)])
+    valid = jnp.concatenate([sels[l][2] for l in range(cfg.n_levels)])
+    lvl = jnp.concatenate([
+        jnp.full((budgets[l],), l, jnp.int32) for l in range(cfg.n_levels)])
+    # zero out invalid slots' descriptors so they never match anything real
+    packed = jnp.where(valid[:, None], packed, 0)
+    pm1 = jnp.where(valid[:, None], pm1, jnp.zeros_like(pm1))
+    kp = Keypoints(xy0, jnp.where(valid, resp, 0.0), ang, lvl, valid, packed, pm1)
     if detection_mask is not None:
         # gate keypoints whose level-0 coords fall outside the mask
         xi = jnp.clip(kp.xy[:, 0].astype(jnp.int32), 0, img.shape[1] - 1)

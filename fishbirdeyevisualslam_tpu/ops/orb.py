@@ -100,6 +100,52 @@ def quantize_angle_bin(angles, n_bins: int = N_ANGLE_BINS):
     return jnp.round(angles / step).astype(jnp.int32) % n_bins
 
 
+BLUR_R = 3          # 7-tap Gaussian radius used before descriptor sampling
+PATCH37 = PATCH + 2 * BLUR_R
+
+
+@functools.lru_cache(maxsize=4)
+def _blur_folded_tables(n_bins: int) -> np.ndarray:
+    """(PATCH37^2, n_bins*256) f32: the descriptor sampling matrix with the
+    7-tap Gaussian blur FOLDED IN.
+
+    Both the blur and the pair sampling are linear maps of the raw (37, 37)
+    window, so ``blur(patch)[q2] - blur(patch)[q1]`` equals one dot product of
+    the raw window with a precomputed column (<= 98 nonzeros: 49 taps per
+    sample point, +k for point 2, -k for point 1).  Removes the runtime blur
+    (and its f32->bf16 reshape chain) from the extraction path entirely —
+    bit-exact with blur-then-sample."""
+    from fishbirdeyevisualslam_tpu.ops.image import _gauss_kernel
+
+    i1, i2 = _binned_sample_tables(n_bins)   # (n_bins, 256) flat 31x31 indices
+    k = _gauss_kernel(2 * BLUR_R + 1, 2.0).astype(np.float64)
+    S = np.zeros((PATCH37 * PATCH37, n_bins * N_BITS), np.float64)
+    cols = np.arange(n_bins * N_BITS)
+    y1, x1 = np.divmod(i1.reshape(-1), PATCH)
+    y2, x2 = np.divmod(i2.reshape(-1), PATCH)
+    for a in range(2 * BLUR_R + 1):
+        for b in range(2 * BLUR_R + 1):
+            w = k[a] * k[b]
+            np.add.at(S, ((y2 + a) * PATCH37 + (x2 + b), cols), w)
+            np.add.at(S, ((y1 + a) * PATCH37 + (x1 + b), cols), -w)
+    return S.astype(np.float32)
+
+
+def descriptors_from_raw37(patches37, angles, n_bins: int = N_ANGLE_BINS):
+    """rBRIEF directly from RAW (N, 37, 37) gather windows (blur folded into
+    the sampling matrix — see ``_blur_folded_tables``).  TPU matmul path only;
+    bit c of the keypoint's bin is sign(patch37 . S37[:, bin*256 + c])."""
+    n = patches37.shape[0]
+    flat = patches37.reshape(n, -1).astype(jnp.bfloat16)
+    S = jnp.asarray(_blur_folded_tables(n_bins), jnp.bfloat16)
+    D = jnp.dot(flat, S, preferred_element_type=jnp.float32)
+    D = D.reshape(n, n_bins, N_BITS)
+    bin_id = quantize_angle_bin(angles, n_bins)
+    onehot = (bin_id[:, None] == jnp.arange(n_bins)[None, :]).astype(jnp.float32)
+    d_sel = jnp.einsum("nb,nbc->nc", onehot, D)
+    return (d_sel > 0).astype(jnp.uint8)
+
+
 def descriptors(blurred_patches, angles, n_bins: int = N_ANGLE_BINS,
                 use_matmul=None):
     """rBRIEF: rotate the pair pattern by the (bin-quantized) keypoint angle,

@@ -281,18 +281,23 @@ def fused_projection_match(pm1_a, uv_a, oct_a, valid_a,
     bf = jnp.bfloat16
     a = jnp.zeros((pa, 256), bf).at[:na].set(pm1_a.astype(bf))
     b = jnp.zeros((pb, 256), bf).at[:nb].set(pm1_b.astype(bf))
-    a_aux = jnp.zeros((pa, 4), jnp.float32)
-    a_aux = a_aux.at[:na, 0].set(uv_a[:, 0].astype(jnp.float32))
-    a_aux = a_aux.at[:na, 1].set(uv_a[:, 1].astype(jnp.float32))
-    a_aux = a_aux.at[:na, 2].set(oct_a.astype(jnp.float32))
-    a_aux = a_aux.at[:na, 3].set(valid_a.astype(jnp.float32))
-    b_aux = jnp.full((pb, 4), -1.0, jnp.float32)
-    b_aux = b_aux.at[:nb, 0].set(uv_b[:, 0].astype(jnp.float32))
-    b_aux = b_aux.at[:nb, 1].set(uv_b[:, 1].astype(jnp.float32))
+    # aux blocks assembled by ONE concat + pad each (a chain of .at[].set
+    # columns lowered to serial (N, 4) dynamic-update-slices costing ~0.13 ms
+    # per tracking step in the device trace)
+    a_aux = jnp.concatenate([
+        uv_a.astype(jnp.float32),
+        oct_a.astype(jnp.float32)[:, None],
+        valid_a.astype(jnp.float32)[:, None],
+    ], axis=1)
+    a_aux = jnp.pad(a_aux, ((0, pa - na), (0, 0)))
     r_eff = jnp.where(valid_b, jnp.broadcast_to(
         jnp.asarray(radius_b, jnp.float32), (nb,)), -1.0)
-    b_aux = b_aux.at[:nb, 2].set(r_eff)
-    b_aux = b_aux.at[:nb, 3].set(pred_b.astype(jnp.float32))
+    b_aux = jnp.concatenate([
+        uv_b.astype(jnp.float32),
+        r_eff[:, None],
+        pred_b.astype(jnp.float32)[:, None],
+    ], axis=1)
+    b_aux = jnp.pad(b_aux, ((0, pb - nb), (0, 0)), constant_values=-1.0)
 
     grid = (pa // tile_a, pb // tile_b)
     out = pl.pallas_call(

@@ -232,6 +232,19 @@ class TestDescriptorSamplers:
         mismatch = np.mean(np.asarray(b_gather) != np.asarray(b_matmul))
         assert mismatch < 0.01, mismatch
 
+    def test_blur_folded_parity(self):
+        # descriptors_from_raw37 (blur folded into the sampling matrix) must
+        # reproduce blur-then-gather up to bf16 near-ties
+        from fishbirdeyevisualslam_tpu.ops import features as feats
+        rng = np.random.RandomState(9)
+        patches37 = jnp.asarray(rng.rand(128, 37, 37).astype(np.float32) * 255)
+        angles = jnp.asarray(rng.rand(128).astype(np.float32) * 2 * np.pi)
+        b_ref = orb.descriptors(feats._blur_patches(patches37), angles,
+                                use_matmul=False)
+        b_fold = orb.descriptors_from_raw37(patches37, angles)
+        mismatch = np.mean(np.asarray(b_ref) != np.asarray(b_fold))
+        assert mismatch < 0.02, mismatch
+
     def test_bin_quantization(self):
         # angles inside one bin produce identical descriptors
         rng = np.random.RandomState(8)
