@@ -31,9 +31,23 @@ def run(n_frames=80, kind="circle", noise=0.02, seed=0):
     import jax.numpy as jnp
     dead = np.stack([np.asarray(odo.se2_to_se3(jnp.asarray(o))) for o in seq.odom])
     ate_odo = ate_rmse_vs_gt(dead, seq.gt)
+    # keyframe-only ATE (post-BA poses; separates inter-KF tracking jitter
+    # from the optimized trajectory)
+    ate_kf = float("nan")
+    if sys_.map is not None:
+        m = sys_.map
+        kf_rows = [(int(m.kf_frame_id[k]), k) for k in range(int(m.n_kf))
+                   if bool(m.kf_valid[k]) and 0 <= int(m.kf_frame_id[k]) < n_frames]
+        if len(kf_rows) >= 3:
+            from fishbirdeyevisualslam_tpu.geometry import ipm, se3
+            Twb = np.stack([np.asarray(ipm.Twb_from_Twc(
+                cfg.extrinsics, se3.inverse(m.kf_Tcw[k]))) for _, k in kf_rows])
+            gt_kf = np.asarray(seq.gt)[[i for i, _ in kf_rows]]
+            ate_kf = float(ate_rmse_vs_gt(Twb, gt_kf))
     print(f"kind={kind} n={n_frames} noise={noise} seed={seed}: "
           f"lost={sum(s == 3 for s in states)} kf={int(sys_.map.n_kf) if sys_.map is not None else 0} "
-          f"loops={sys_.n_loops_closed} ATE={float(ate):.3f} m (odom-only {float(ate_odo):.3f} m)")
+          f"loops={sys_.n_loops_closed} ATE={float(ate):.3f} m "
+          f"(KF-only {ate_kf:.3f} m, odom-only {float(ate_odo):.3f} m)")
     return float(ate)
 
 
