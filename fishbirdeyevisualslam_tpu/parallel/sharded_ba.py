@@ -42,6 +42,11 @@ from fishbirdeyevisualslam_tpu.solvers.pose_opt import (
 
 def make_mesh(n_pt: Optional[int] = None, n_dp: int = 1) -> Mesh:
     devs = np.asarray(jax.devices())
+    if n_pt is not None and len(devs) < n_dp * n_pt:
+        # not enough devices on the default backend (e.g. one real TPU chip):
+        # fall back to the host CPU backend, which honors
+        # --xla_force_host_platform_device_count for virtual-mesh validation
+        devs = np.asarray(jax.devices("cpu"))
     if n_pt is None:
         n_pt = len(devs) // n_dp
     return Mesh(devs[: n_dp * n_pt].reshape(n_dp, n_pt), ("dp", "pt"))
