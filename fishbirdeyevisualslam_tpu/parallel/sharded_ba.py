@@ -40,16 +40,56 @@ from fishbirdeyevisualslam_tpu.solvers.pose_opt import (
 )
 
 
-def make_mesh(n_pt: Optional[int] = None, n_dp: int = 1) -> Mesh:
+def make_mesh(n_pt: Optional[int] = None, n_dp: int = 1,
+              allow_cpu_fallback: Optional[bool] = None) -> Mesh:
+    """Build a ('dp', 'pt') mesh from the default backend's devices.
+
+    When the default backend has fewer than ``n_dp * n_pt`` devices the host
+    CPU backend (which honors ``--xla_force_host_platform_device_count``) is
+    substituted ONLY if ``allow_cpu_fallback`` — explicitly, or via the
+    ``FBEV_ALLOW_CPU_MESH=1`` env var set by the dry-run/test harnesses.
+    Production callers over-requesting shards get an error, not a silent
+    ~100x-slower CPU mesh.
+    """
+    import os
+    import warnings
+    if allow_cpu_fallback is None:
+        allow_cpu_fallback = os.environ.get("FBEV_ALLOW_CPU_MESH", "") == "1"
     devs = np.asarray(jax.devices())
     if n_pt is not None and len(devs) < n_dp * n_pt:
-        # not enough devices on the default backend (e.g. one real TPU chip):
-        # fall back to the host CPU backend, which honors
-        # --xla_force_host_platform_device_count for virtual-mesh validation
+        if not allow_cpu_fallback:
+            raise ValueError(
+                f"make_mesh needs {n_dp * n_pt} devices but the default backend "
+                f"({jax.default_backend()}) has {len(devs)}. For virtual-mesh "
+                "validation pass allow_cpu_fallback=True (or set "
+                "FBEV_ALLOW_CPU_MESH=1) with "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=N.")
+        warnings.warn(
+            f"make_mesh: default backend has {len(devs)} devices < "
+            f"{n_dp * n_pt}; falling back to host CPU devices (validation "
+            "mode, ~100x slower than TPU).", stacklevel=2)
         devs = np.asarray(jax.devices("cpu"))
     if n_pt is None:
         n_pt = len(devs) // n_dp
+    if len(devs) < n_dp * n_pt:
+        raise ValueError(
+            f"make_mesh needs {n_dp * n_pt} devices, found {len(devs)} "
+            f"(set XLA_FLAGS=--xla_force_host_platform_device_count="
+            f"{n_dp * n_pt} before the CPU backend initializes).")
     return Mesh(devs[: n_dp * n_pt].reshape(n_dp, n_pt), ("dp", "pt"))
+
+
+def put_on_mesh(tree, mesh: Mesh):
+    """``jax.device_put`` a pytree of replicated arrays onto the mesh's backend.
+
+    Needed when example/eager arrays were committed to a different backend
+    than the mesh (e.g. default TPU backend + CPU validation mesh): feeding
+    cross-backend arrays into a jitted shard_map raises JAX's
+    'Received incompatible devices' error.
+    """
+    from jax.sharding import NamedSharding
+    rep = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
 
 
 def pad_blocks_to(blocks: PointBlocks, P_pad: int) -> PointBlocks:
@@ -82,6 +122,11 @@ def distributed_bundle_adjust(
     n_pt = mesh.shape["pt"]
     front = pad_blocks_to(front, -(-front.Xw.shape[0] // n_pt) * n_pt)
     bird = pad_blocks_to(bird, -(-bird.Xw.shape[0] // n_pt) * n_pt)
+    # inputs may be committed to a different backend than the mesh (single
+    # real TPU chip + CPU validation mesh): move them onto the mesh's devices
+    if mesh.devices.flat[0].platform != jax.devices()[0].platform:
+        poses0, fixed, front, bird, odom = put_on_mesh(
+            (poses0, fixed, front, bird, odom), mesh)
 
     blk = PointBlocks(
         Xw=P("pt"), kf_idx=P("pt"), meas=P("pt"), inv_sigma2=P("pt"),
@@ -133,6 +178,9 @@ def batched_pose_optimization(cfg: SystemConfig, mesh: Mesh, Tcw0_batch,
     # use_fused=False: the Pallas LM kernel is single-problem; under vmap the
     # XLA op-graph path batches cleanly (the batch supplies the parallelism the
     # fused kernel exists to recover)
+    if mesh.devices.flat[0].platform != jax.devices()[0].platform:
+        Tcw0_batch, front_batch, bird_batch = put_on_mesh(
+            (Tcw0_batch, front_batch, bird_batch), mesh)
     vf = jax.vmap(lambda T, f, b: pose_optimization(cfg.camera, cfg.ba, T, f, b,
                                                     use_fused=False))
     spec_f = FrontObs(Xw=P("dp"), uv=P("dp"), inv_sigma2=P("dp"), valid=P("dp"))

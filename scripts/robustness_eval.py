@@ -14,15 +14,17 @@ from fishbirdeyevisualslam_tpu.io import synthetic
 from fishbirdeyevisualslam_tpu.io.evaluate import ate_rmse_vs_gt
 from fishbirdeyevisualslam_tpu.geometry import odometry as odo, ipm, se3
 from fishbirdeyevisualslam_tpu.slam.system import SlamSystem
+from fishbirdeyevisualslam_tpu.slam import tracking as tr
 
 
-def run(n_frames=80, kind="circle", noise=0.02, seed=0):
+def run(n_frames=80, kind="circle", noise=0.02, seed=0, use_contour=True):
     cfg = SystemConfig()
     seq = synthetic.make_sequence(cfg, n_frames=n_frames, kind=kind,
                                   odom_noise=noise, seed=seed)
     sys_ = SlamSystem(cfg)
     for i, fr in enumerate(seq.frames):
-        sys_.track(fr["front"], fr["bird"], fr["mask"], seq.odom[i], fr["timestamp"])
+        sys_.track(fr["front"], fr["bird"], fr["mask"], seq.odom[i], fr["timestamp"],
+                   contour=fr.get("contour") if use_contour else None)
     sys_.finish()
     states = [e.state for e in sys_.trajectory]
     est = sys_.frame_trajectory_Twb()
@@ -44,8 +46,8 @@ def run(n_frames=80, kind="circle", noise=0.02, seed=0):
                 cfg.extrinsics, se3.inverse(m.kf_Tcw[k]))) for _, k in kf_rows])
             gt_kf = np.asarray(seq.gt)[[i for i, _ in kf_rows]]
             ate_kf = float(ate_rmse_vs_gt(Twb, gt_kf))
-    print(f"kind={kind} n={n_frames} noise={noise} seed={seed}: "
-          f"lost={sum(s == 3 for s in states)} kf={int(sys_.map.n_kf) if sys_.map is not None else 0} "
+    print(f"kind={kind} n={n_frames} noise={noise} seed={seed} contour={use_contour}: "
+          f"lost={sum(s == tr.LOST for s in states)} kf={int(sys_.map.n_kf) if sys_.map is not None else 0} "
           f"loops={sys_.n_loops_closed} ATE={float(ate):.3f} m "
           f"(KF-only {ate_kf:.3f} m, odom-only {float(ate_odo):.3f} m)")
     return float(ate)
@@ -58,5 +60,6 @@ if __name__ == "__main__":
     p.add_argument("--kind", default="circle")
     p.add_argument("--noise", type=float, default=0.02)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-contour", action="store_true")
     a = p.parse_args()
-    run(a.frames, a.kind, a.noise, a.seed)
+    run(a.frames, a.kind, a.noise, a.seed, use_contour=not a.no_contour)
