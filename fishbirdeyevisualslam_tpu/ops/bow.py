@@ -1,56 +1,47 @@
 """Bag-of-visual-words place recognition as batched device ops.
 
-The reference vendors DBoW2: an offline-trained vocabulary tree (k=10, L=6, ~1M
-words) walked per descriptor on the CPU, producing a sparse tf BowVector and a
-level-4 FeatureVector used to gate matching (``TemplatedVocabulary::transform``,
-``Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:135-162``).
+The reference vendors DBoW2: an offline-trained vocabulary tree (k=10, L=6)
+walked per descriptor on the CPU, producing a sparse tf-idf BowVector scored
+with an L1 metric (``TemplatedVocabulary::transform/score``,
+``Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:135-162``) and a level-up
+FeatureVector used to gate matching candidates (``SearchByBoW``).  The
+KeyFrameDatabase (``src/KeyFrameDatabase.cc:76-196``) is an inverted file over
+words — a CPU-side sparsity optimization.
 
-A pointer-tree walk is the wrong shape for a TPU, and the trained vocabulary
-file is not shipped.  The TPU-native equivalent keeps the *interface* (word ids,
-tf scoring, node-gated matching) but computes words by bit-sampling LSH: 16
-fixed descriptor bit positions form the word id (65536 words), a 10-bit subset
-forms the "level-4 node" for ``SearchByBoW``-style candidate gating.  For two
-ORB descriptors at Hamming distance h, P(same word) = (1 - h/256)^16 — ~0.7 at
-matching-grade distances — the same locality invariant the vocabulary tree
-provides, with zero compute beyond a gather.
+Here (SURVEY.md §2.2): a trained k=10, L=4 vocabulary (``ops/vocab.py``,
+``scripts/train_vocab.py``) quantizes descriptors by a batched MXU descent
+(one similarity matmul against every tree node + 4 gathered K-way argmax
+steps); scoring evaluates the query against EVERY keyframe at once with dense
+tf-idf histograms — the inverted file is unnecessary when the whole database
+is one batched op.
 
-Scoring: tf vectors are L1-normalized histograms; similarity is the DBoW2 L1
-score  s(v, w) = 1 - 0.5 * |v - w|_1  evaluated against all keyframes at once
-with one gather+segment-sum (equivalently 2 * sum_i min(v_i, w_i) ... identical
-for L1-normalized non-negative vectors).
+Round 1 used 16-bit bit-sampling LSH words here; its discrimination was weak
+enough that loop detection needed a position-proximity crutch.  The trained
+vocabulary replaces it (VERDICT.md round-1 missing #1).
 """
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-N_PLANES = 16
-N_WORDS = 1 << N_PLANES       # 65536
-NODE_SHIFT = 6                # node = word >> 6 -> 1024 nodes ("L4" gate)
+from fishbirdeyevisualslam_tpu.ops import vocab as vocab_mod
 
-
-@functools.lru_cache(maxsize=1)
-def _bit_positions() -> np.ndarray:
-    rng = np.random.RandomState(77020817)
-    return rng.choice(256, N_PLANES, replace=False).astype(np.int32)
+N_WORDS = vocab_mod.N_WORDS
+NODE_DIV = vocab_mod.NODE_DIV
 
 
 def word_ids(desc_pm1) -> jnp.ndarray:
-    """(N, 256) +/-1 descriptors -> (N,) int32 word ids by sampling 16 fixed
-    bit positions (bit-sampling LSH)."""
-    pos = jnp.asarray(_bit_positions())
-    bits = (desc_pm1[:, pos].astype(jnp.float32) > 0).astype(jnp.int32)
-    weights = jnp.asarray((1 << np.arange(N_PLANES)).astype(np.int32))
-    return jnp.sum(bits * weights[None, :], axis=-1)
+    """(N, 256) ±1 descriptors -> (N,) int32 leaf word ids via the batched
+    vocabulary descent (``TemplatedVocabulary::transform`` analog)."""
+    v = vocab_mod.load_vocabulary()
+    return vocab_mod.descend(desc_pm1, jnp.asarray(v.centers_pm1))
 
 
 def node_ids(words) -> jnp.ndarray:
-    """Coarse grouping for matching candidate gates (FeatureVector analog)."""
-    return words >> NODE_SHIFT
+    """Depth-2 ancestor node per word — the FeatureVector gate for
+    ``SearchByBoW``-style candidate restriction."""
+    return words // NODE_DIV
 
 
 def node_gate_mask(words_a, valid_a, words_b, valid_b) -> jnp.ndarray:
@@ -60,33 +51,33 @@ def node_gate_mask(words_a, valid_a, words_b, valid_b) -> jnp.ndarray:
     return (na[:, None] == nb[None, :]) & valid_a[:, None] & valid_b[None, :]
 
 
+def _tfidf_hist(words, valid, idf) -> jnp.ndarray:
+    """(F,) words -> (N_WORDS,) L1-normalized tf-idf histogram."""
+    w = jnp.where(valid, idf[jnp.clip(words, 0, N_WORDS - 1)], 0.0)
+    hist = jnp.zeros((N_WORDS,), jnp.float32).at[
+        jnp.where(valid, words, 0)].add(w)
+    return hist / jnp.maximum(hist.sum(), 1e-9)
+
+
+def bow_vector(words, valid) -> jnp.ndarray:
+    """Public tf-idf vector of one descriptor set (BowVector analog)."""
+    return _tfidf_hist(words, valid, jnp.asarray(vocab_mod.load_vocabulary().idf))
+
+
 def score_against_keyframes(q_words, q_valid, kf_words, kf_valid) -> jnp.ndarray:
-    """L1 BoW similarity of one query against every KF: (K,) in [0, 1].
+    """DBoW2 L1 similarity of one query against every KF at once: (K,) in [0,1].
 
-    q_words (F,), kf_words (K, F) word ids with validity masks.  Both sides are
-    L1-normalized tf histograms; s = sum_i min(q_i, k_i) equals the DBoW2
-    L1-score up to the standard affine map.
+    Both sides are L1-normalized tf-idf vectors; the DBoW2 L1 score
+    ``1 - 0.5 |v - w|_1`` equals ``sum_i min(v_i, w_i)`` for normalized
+    non-negative vectors.  All KF histograms are built by ONE scatter-add over
+    the (K, F) word table — the batched replacement for the inverted file.
     """
-    F = q_words.shape[0]
-    K = kf_words.shape[0]
-    qw = q_valid.astype(jnp.float32)
-    q_hist = jnp.zeros((N_WORDS,), jnp.float32).at[jnp.where(q_valid, q_words, 0)].add(qw)
-    q_hist = q_hist / jnp.maximum(q_hist.sum(), 1.0)
-    kw = kf_valid.astype(jnp.float32)
-    k_count = jnp.maximum(kw.sum(axis=1), 1.0)  # (K,)
-    # sum over features of min(q[word], k_tf[word]) requires per-KF histograms;
-    # evaluate via gather: for each KF feature, its word's query tf, capped by
-    # the KF's own tf at that word.  Build per-KF histograms sparsely:
-    # contribution of word w in KF k = min(q_hist[w], tf_k[w]).  Compute tf_k[w]
-    # by counting duplicates within the KF row.
-    safe_words = jnp.where(kf_valid, kf_words, N_WORDS - 1)
-    # count multiplicity of each word within its KF row: sort-free trick via
-    # equality matrix would be (K,F,F) = big; instead use segment counting per row.
-    def per_kf(words_row, valid_row):
-        hist = jnp.zeros((N_WORDS,), jnp.float32).at[
-            jnp.where(valid_row, words_row, 0)
-        ].add(valid_row.astype(jnp.float32))
-        hist = hist / jnp.maximum(hist.sum(), 1.0)
-        return jnp.sum(jnp.minimum(q_hist, hist))
-
-    return jax.vmap(per_kf)(safe_words, kf_valid)
+    idf = jnp.asarray(vocab_mod.load_vocabulary().idf)
+    q_hist = _tfidf_hist(q_words, q_valid, idf)            # (W,)
+    K, F = kf_words.shape
+    rows = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None], (K, F))
+    w = jnp.where(kf_valid, idf[jnp.clip(kf_words, 0, N_WORDS - 1)], 0.0)
+    hists = jnp.zeros((K, N_WORDS), jnp.float32).at[
+        rows, jnp.where(kf_valid, kf_words, 0)].add(w)
+    hists = hists / jnp.maximum(hists.sum(axis=1, keepdims=True), 1e-9)
+    return jnp.sum(jnp.minimum(q_hist[None, :], hists), axis=1)
