@@ -148,6 +148,12 @@ class TrackingConfig:
     max_local_keyframes: int = 80     # local map KF cap (Tracking.cc:2175)
     bird_window_meters: float = 5.0   # bird sliding window (Tracking.cc:2644-2721)
     min_kfs_for_reset: int = 5        # full reset if lost early (Tracking.cc:731-740)
+    # covisible neighbors searched by local mapping: triangulation + fuse run
+    # against the top-N covisibility neighbors of the new KF (the reference
+    # uses 20 for mono CreateNewMapPoints / SearchInNeighbors,
+    # LocalMapping.cc:231-246,478-490; 5 covers the synthetic sequences'
+    # covisibility spans at 1/4 the match cost)
+    mapping_neighbors: int = 5
     min_frames_between_kf: int = 0
     max_frames_between_kf: int = 25   # = fps
     # Frame::isInFrustum gates (dist within [0.8 d_min, 1.2 d_max], viewing

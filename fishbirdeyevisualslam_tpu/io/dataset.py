@@ -84,6 +84,41 @@ def _imread_gray(path: str) -> np.ndarray:
     return img
 
 
+def _erode(mask: np.ndarray, radius: int) -> np.ndarray:
+    """Binary erosion with a (2r+1)^2 rectangular structuring element
+    (``cv::erode`` with MORPH_RECT in ``ConvertMaskBirdview``)."""
+    out = mask.copy()
+    for axis, r in ((0, radius), (1, radius)):
+        acc = out.copy()
+        for s in range(1, r + 1):
+            acc &= np.roll(out, s, axis=axis) & np.roll(out, -s, axis=axis)
+        # rolls wrap around: kill the border band outright (conservative, the
+        # reference's border pixels erode away too)
+        out = acc
+    out[:radius, :] = False
+    out[-radius:, :] = False
+    out[:, :radius] = False
+    out[:, -radius:] = False
+    return out
+
+
+def preprocess_bird_mask(mask: np.ndarray, bird_cfg, erosion: int = 5,
+                         boundary: float = 15.0) -> np.ndarray:
+    """The reference driver's ``ConvertMaskBirdview``
+    (``mono_encoder.cc:279-313``): binarize, erode with an 11x11 rectangle,
+    then blank the vehicle-footprint rectangle (vehicle extent in pixels plus a
+    ``boundary``-px margin) centered in the bird image."""
+    m = np.asarray(mask) > 0 if mask.dtype != bool else mask.copy()
+    m = _erode(m, erosion)
+    rows, cols = m.shape
+    x0 = int(cols / 2 - (bird_cfg.vehicle_width / 2 / bird_cfg.pixel2meter) - boundary)
+    y0 = int(rows / 2 - (bird_cfg.vehicle_length / 2 / bird_cfg.pixel2meter) - boundary)
+    w = int(bird_cfg.vehicle_width / bird_cfg.pixel2meter + 2 * boundary)
+    h = int(bird_cfg.vehicle_length / bird_cfg.pixel2meter + 2 * boundary)
+    m[max(0, y0): y0 + h, max(0, x0): x0 + w] = False
+    return m
+
+
 @dataclasses.dataclass
 class DatasetSequence:
     """Iterates the reference layout, yielding ready-to-track frames."""
@@ -95,26 +130,43 @@ class DatasetSequence:
     crop: Optional[Tuple[int, int]] = (1900, 800)
     downsample: int = 2
     ext: str = ".jpg"
+    contour_ext: str = ".jpg"
+    bird_cfg: Optional[object] = None   # BirdConfig for mask preprocessing
 
     @classmethod
-    def open(cls, root: str, ext: str = ".jpg") -> "DatasetSequence":
+    def open(cls, root: str, ext: str = ".jpg", bird_cfg=None) -> "DatasetSequence":
         odom = parse_index(os.path.join(root, "associate.txt"))
         gt_path = os.path.join(root, "groundtruth.txt")
         gt = parse_index(gt_path) if os.path.exists(gt_path) else None
-        return cls(root=root, odom_index=odom, gt_index=gt, ext=ext)
+        if bird_cfg is None:
+            from fishbirdeyevisualslam_tpu.config import BirdConfig
+            bird_cfg = BirdConfig()
+        return cls(root=root, odom_index=odom, gt_index=gt, ext=ext,
+                   bird_cfg=bird_cfg)
 
     def __len__(self):
         return len(self.odom_index.stems)
+
+    def _optional_gray(self, sub: str, stem: str, ext: str):
+        for e in (ext, ".npy"):
+            p = os.path.join(self.root, sub, stem + e)
+            if os.path.exists(p):
+                return _imread_gray(p)
+        return None
 
     def frame(self, i: int):
         stem = self.odom_index.stems[i]
         front = _imread_gray(os.path.join(self.root, "image", stem + self.ext))
         bird = _imread_gray(os.path.join(self.root, "birdview", stem + self.ext))
-        mask_path = os.path.join(self.root, "mask", stem + self.ext)
-        if os.path.exists(mask_path):
-            mask = _imread_gray(mask_path) > 127
+        raw_mask = self._optional_gray("mask", stem, self.ext)
+        if raw_mask is not None:
+            # erode + vehicle-footprint blank (``ConvertMaskBirdview``)
+            mask = preprocess_bird_mask(raw_mask > 127, self.bird_cfg)
         else:
             mask = np.ones_like(bird, bool)
+        # contour label image driving GuidenceKeyBirdPts (edge < 150):
+        # ``contourICP/<stem>.jpg`` (``mono_encoder.cc:246``)
+        contour = self._optional_gray("contourICP", stem, self.contour_ext)
         # front preprocessing (mono_encoder.cc:144-158)
         if self.front_mask is not None:
             front = np.where(self.front_mask, front, 0.0)
@@ -127,6 +179,7 @@ class DatasetSequence:
             front=front.astype(np.float32),
             bird=bird.astype(np.float32),
             mask=mask,
+            contour=None if contour is None else contour.astype(np.float32),
             odom=self.odom_index.poses[i],
             gt=None if self.gt_index is None else self.gt_index.poses[i],
             timestamp=float(self.odom_index.timestamps[i]),
@@ -136,12 +189,29 @@ class DatasetSequence:
         for i in range(len(self)):
             yield self.frame(i)
 
+    def play(self, realtime: bool = True):
+        """Yield frames paced to their timestamps (the reference driver sleeps
+        out the remainder of each frame period, ``mono_encoder.cc:186-193``)."""
+        import time
+        prev_ts = None
+        t_wall = time.perf_counter()
+        for i in range(len(self)):
+            fr = self.frame(i)
+            if realtime and prev_ts is not None:
+                period = fr["timestamp"] - prev_ts
+                elapsed = time.perf_counter() - t_wall
+                if period > elapsed:
+                    time.sleep(period - elapsed)
+            prev_ts = fr["timestamp"]
+            t_wall = time.perf_counter()
+            yield fr
+
 
 def export_sequence(seq, root: str) -> None:
     """Write a synthetic sequence (``io.synthetic.SyntheticSequence``) to disk in
     the reference layout (npy images) for loader round-trip testing and for
     driving the native prefetcher."""
-    for sub in ("image", "birdview", "mask"):
+    for sub in ("image", "birdview", "mask", "contourICP"):
         os.makedirs(os.path.join(root, sub), exist_ok=True)
     lines_odom, lines_gt = [], []
     for i, fr in enumerate(seq.frames):
@@ -150,6 +220,9 @@ def export_sequence(seq, root: str) -> None:
         np.save(os.path.join(root, "birdview", stem + ".npy"), fr["bird"])
         np.save(os.path.join(root, "mask", stem + ".npy"),
                 fr["mask"].astype(np.uint8) * 255)
+        if fr.get("contour") is not None:
+            np.save(os.path.join(root, "contourICP", stem + ".npy"),
+                    fr["contour"].astype(np.float32))
         o = seq.odom[i]
         g = seq.gt[i]
         lines_odom.append(f"{fr['timestamp']:.6f} {o[0]:.6f} {o[1]:.6f} {o[2]:.6f} {stem}")

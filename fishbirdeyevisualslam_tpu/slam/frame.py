@@ -66,14 +66,20 @@ def build_frame(
     timestamp,
     cfg: SystemConfig,
     n_features: int,
+    contour=None,    # (HB, WB) contour label image (edge < 150), optional
 ) -> Frame:
     orbc = cfg.orb
     kp = features._extract_impl(front_gray, orbc, n_features)
     uv_und = cam_ops.undistort_fisheye(cfg.camera, kp.xy)
     uv_und = jnp.where(kp.valid[:, None], uv_und, 0.0)
 
+    # bird keypoints restricted to freespace; with a contour label image also
+    # to the contour neighborhood (``GuidenceKeyBirdPts``, ``Frame.cc:671-739``)
+    det_mask = bird_mask > 0
+    if contour is not None:
+        det_mask = bird_detection_mask(bird_mask, contour)
     bkp = features._extract_impl(
-        bird_gray, orbc, n_features, detection_mask=bird_mask > 0
+        bird_gray, orbc, n_features, detection_mask=det_mask
     )
     base = ipm.bird_pixel_to_base_xy(cfg.bird, bkp.xy)
     cam = ipm.base_xyz_to_cam(cfg.extrinsics, base)

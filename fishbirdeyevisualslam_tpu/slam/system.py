@@ -61,6 +61,7 @@ class SlamSystem:
         self.ref_kf_tracked = 0
         self.frame_id = -1
         self.n_lost_frames = 0
+        self._reloc_frame_id = -10000  # last reloc/re-init frame (gate relaxation)
         self.trajectory: List[TrajectoryEntry] = []
         self._odom_history = {}  # frame trajectory index -> odom (pre-init backfill)
         self.frame_times: List[float] = []  # per-frame wall time (CalExTime analog)
@@ -92,9 +93,12 @@ class SlamSystem:
         local BA + (optionally) loop closing on a snapshot."""
         m, new_slot, prev_slot, frame_id = self._mapping_jobs.pop(item)
         cfg = self.cfg
-        m = tr.triangulate_new_points(m, jnp.int32(new_slot), jnp.int32(prev_slot), cfg)
-        m = tr.fuse_neighbors(m, jnp.int32(new_slot), jnp.int32(prev_slot), cfg)
+        m = tr.local_mapping_triangulate(m, jnp.int32(new_slot), cfg,
+                                         cfg.tracking.mapping_neighbors)
+        m = tr.local_mapping_fuse(m, jnp.int32(new_slot), cfg,
+                                  cfg.tracking.mapping_neighbors)
         m = tr.cull_points(m, cfg)
+        m = tr.cull_bird_points(m, cfg, m.kf_Tcw[new_slot])
         m = tr.update_point_stats(m, cfg)
         m = tr.local_ba(m, cfg, jnp.int32(new_slot))
         m = tr.cull_keyframes(m, cfg, jnp.int32(new_slot - 2))
@@ -126,8 +130,14 @@ class SlamSystem:
         )
 
     # ------------------------------------------------------------------ API
-    def track(self, front_gray, bird_gray, bird_mask, odom, timestamp) -> np.ndarray:
-        """Process one frame; returns the current Tcw estimate (7,)."""
+    def track(self, front_gray, bird_gray, bird_mask, odom, timestamp,
+              contour=None) -> np.ndarray:
+        """Process one frame; returns the current Tcw estimate (7,).
+
+        ``contour``: optional bird-view contour label image (edge pixels < 150,
+        the dataset's ``birdviewContourICP``); when given, bird keypoints are
+        restricted to the contour neighborhood like the reference Frame ctor
+        (``GuidenceKeyBirdPts``, ``Frame.cc:671-739``)."""
         import time as _time
         _t0 = _time.perf_counter()
         self.frame_id += 1
@@ -140,6 +150,7 @@ class SlamSystem:
                 jnp.asarray(timestamp, jnp.float32),
                 self.cfg,
                 self.cfg.capacity.max_front_kp,
+                None if contour is None else jnp.asarray(contour, jnp.float32),
             )
         # merge a finished async mapping result at the frame boundary
         if self._pending_result is not None:
@@ -223,6 +234,7 @@ class SlamSystem:
             m = tr.apply_world_gauge(m, Tcw1)
         self.map = m
         self.state = tr.OK
+        self._reloc_frame_id = self.frame_id
         self.last_kf_slot = 1
         self.last_kf_frame_id = self.frame_id
         self.last_assoc = tr.TrackObs(m.kf_mp[1], m.kf_bird_mp[1])
@@ -327,7 +339,12 @@ class SlamSystem:
         )
         Tcw = out2.Tcw
 
-        if n_in < 10:
+        # TrackLocalMap success gate (the reference demands >= 30 inliers,
+        # ``Tracking.cc:1429-1441``; relaxed for 2*fps frames after a
+        # relocalization/re-init, mirroring the mnLastRelocFrameId window)
+        recent_reloc = self.frame_id - self._reloc_frame_id < 2 * cfg.camera.fps
+        min_ok = 10 if recent_reloc else cfg.tracking.min_inliers_ok
+        if n_in < min_ok:
             if self._pipeline is not None and (
                     self._mapping_busy or self._pending_result is not None):
                 # Tracking starved while a mapping job was in flight: the live
@@ -362,7 +379,7 @@ class SlamSystem:
         frames_since = self.frame_id - self.last_kf_frame_id
         need = (
             not self.localization_only
-            and frames_since >= 1
+            and frames_since >= max(1, cfg.tracking.min_frames_between_kf)
             and (
                 frames_since >= cfg.tracking.max_frames_between_kf
                 or n_in < 0.9 * max(self.ref_kf_tracked, 1)
@@ -385,9 +402,12 @@ class SlamSystem:
                 self._mapping_jobs[job_id] = (m, new_slot, self.last_kf_slot, self.frame_id)
                 self._pipeline.submit(job_id)
             else:
-                m = tr.triangulate_new_points(m, jnp.int32(new_slot), jnp.int32(self.last_kf_slot), cfg)
-                m = tr.fuse_neighbors(m, jnp.int32(new_slot), jnp.int32(self.last_kf_slot), cfg)
+                m = tr.local_mapping_triangulate(m, jnp.int32(new_slot), cfg,
+                                                 cfg.tracking.mapping_neighbors)
+                m = tr.local_mapping_fuse(m, jnp.int32(new_slot), cfg,
+                                          cfg.tracking.mapping_neighbors)
                 m = tr.cull_points(m, cfg)
+                m = tr.cull_bird_points(m, cfg, m.kf_Tcw[new_slot])
                 m = tr.update_point_stats(m, cfg)
                 m = tr.local_ba(m, cfg, jnp.int32(new_slot))
                 m = tr.cull_keyframes(m, cfg, jnp.int32(new_slot - 2))
@@ -480,6 +500,7 @@ class SlamSystem:
                     out = tr.pose_opt_step(m, f, assoc, cfg, Tcw_r)
                     if int(out.n_inliers) >= 15:
                         self.state = tr.OK
+                        self._reloc_frame_id = self.frame_id
                         self.last_assoc = tr.TrackObs(
                             jnp.where(out.front_inlier, assoc.mp_idx, -1),
                             jnp.full_like(self.last_assoc.bp_idx, -1))
@@ -499,6 +520,7 @@ class SlamSystem:
                 m = self._append_reinit_pair(m, self.last_frame, f, out, res)
                 self.map = m
                 self.state = tr.OK
+                self._reloc_frame_id = self.frame_id
                 slot = int(m.n_kf) - 1
                 Tcw = m.kf_Tcw[slot]
                 self.last_kf_slot = slot
@@ -530,10 +552,8 @@ class SlamSystem:
         F = f1.uv.shape[0]
         P = m.mp_pos.shape[0]
         ok = match_res.ok & init_out.triangulated
-        start = m.n_mp
-        order = jnp.cumsum(ok.astype(jnp.int32)) - 1
-        dest = jnp.where(ok, jnp.clip(start + order, 0, P - 1), P - 1)
-        can = ok & (start + order < P)
+        dest, can = ms.alloc_slots(m.mp_valid, ok)
+        m = ms.reset_point_slots(m, dest, can, slot1)
         feat2 = jnp.clip(match_res.idx, 0, F - 1)
         m = m._replace(
             mp_pos=m.mp_pos.at[dest].set(jnp.where(can[:, None], Xw, m.mp_pos[dest])),
@@ -541,7 +561,7 @@ class SlamSystem:
             mp_valid=m.mp_valid.at[dest].set(jnp.where(can, True, m.mp_valid[dest])),
             mp_ref_kf=m.mp_ref_kf.at[dest].set(jnp.where(can, slot2, m.mp_ref_kf[dest])),
             mp_first_kf=m.mp_first_kf.at[dest].set(jnp.where(can, slot1, m.mp_first_kf[dest])),
-            n_mp=jnp.minimum(start + jnp.sum(ok.astype(jnp.int32)), P),
+            n_mp=m.n_mp + jnp.sum(can.astype(jnp.int32)),
             kf_mp=m.kf_mp.at[slot1].set(jnp.where(can, dest, -1))
                          .at[slot2].set(jnp.full((F,), -1, jnp.int32).at[jnp.where(can, feat2, F - 1)].set(
                              jnp.where(can, dest, -1))),

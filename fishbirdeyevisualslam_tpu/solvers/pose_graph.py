@@ -97,18 +97,23 @@ def build_pose_graph_edges(
     cj = parent[1:]
     cvalid = kf_valid[ci] & kf_valid[cj]
 
-    # strong covisibility: for each KF, its best covisible partner >= min_feat
+    # strong covisibility: EVERY pair sharing >= min_feat points (the reference
+    # keeps all of them, ``Optimizer.cc:1264-1298``; round 1 capped at the top-4
+    # partners, which distributes large corrections poorly on long graphs)
     strong = (covis >= min_feat) & kf_valid[:, None] & kf_valid[None, :]
     # bird fallback where no strong front edge exists (Optimizer.cc:1390-1422)
     has_front = jnp.any(strong, axis=1)
     bird_edge = (bird_covis >= 2) & (~has_front)[:, None] & kf_valid[:, None] & kf_valid[None, :]
     adj = jnp.triu(strong | bird_edge, 1)
-    # cap edges per KF: take top-4 partners by covisibility
-    score = jnp.where(adj, covis + bird_covis, -1)
-    topv, topj = jax.lax.top_k(score, 4)  # (K, 4)
-    ei = jnp.repeat(idx, 4)
-    ej = topj.reshape(-1)
-    evalid = (topv.reshape(-1) > 0)
+    ei = jnp.repeat(idx, K)
+    ej = jnp.tile(idx, K)
+    evalid = adj.reshape(-1)
+    # per-edge information scaled by covisibility weight (EXTENSION: the
+    # reference uses identity information for every essential-graph edge; a
+    # weight-proportional info lets well-constrained pairs resist distortion
+    # while weak ones absorb the correction), loop edges up-weighted 4x
+    cw = (covis + bird_covis).reshape(-1).astype(jnp.float32)
+    einfo = 100.0 * jnp.clip(cw / float(min_feat), 1.0, 4.0)
 
     all_i = jnp.concatenate([ci, ei, loop_i])
     all_j = jnp.concatenate([cj, ej, loop_j])
@@ -118,7 +123,7 @@ def build_pose_graph_edges(
     T_rel = T_rel.at[n_non_loop:].set(loop_T)
     info = jnp.concatenate([
         jnp.full(ci.shape[0], 100.0),
-        jnp.full(ei.shape[0], 100.0),
-        jnp.full(loop_i.shape[0], 100.0),
+        einfo,
+        jnp.full(loop_i.shape[0], 400.0),
     ])
     return OdomEdges(all_i, all_j, T_rel, info, all_valid)
