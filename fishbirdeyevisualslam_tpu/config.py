@@ -72,7 +72,8 @@ class OrbConfig:
     """ORB extraction parameters (reference ``fisheye.yaml:29-42``, ``src/Frame.cc:337``)."""
 
     n_features: int = 2000       # per-view budget (front and bird each)
-    n_features_init: int = 4000  # doubled during initialization (Tracking.cc:127-133)
+    n_features_init: int = 4096  # doubled during initialization
+                                 # (Tracking.cc:127-133; 4096 = MXU-friendly pad of 4000)
     scale_factor: float = 1.2
     n_levels: int = 8
     ini_th_fast: int = 15        # (0..255 absolute intensity threshold)
@@ -157,14 +158,15 @@ class TrackingConfig:
     min_frames_between_kf: int = 0
     max_frames_between_kf: int = 25   # = fps
     # Frame::isInFrustum gates (dist within [0.8 d_min, 1.2 d_max], viewing
-    # cos > 0.5) and the predicted-level octave window in local-map matching.
-    # Implemented faithfully but DEFAULT OFF: with the whole-image extractor's
-    # octave distribution these gates measurably starve tracking on the
-    # synthetic oracle (80-frame rect: lost 10 -> 45 with gates on); revisit on
-    # real contour-labeled data where the pyramid statistics match the
-    # reference's.
-    use_frustum_gates: bool = False
-    use_level_window: bool = False
+    # cos > 0.5) and the predicted-level octave window in local-map matching
+    # (``Frame.cc:435-491``).  Round 1 shipped these OFF because they starved
+    # tracking; the root cause was fresh landmarks (stats pass not yet run):
+    # their zero normal failed viewcos > 0.5 and their unestimated scale range
+    # saturated the predicted level, so the whole young map was gated out.
+    # Fresh points are now exempt from both gates until their stats exist, and
+    # the reference defaults hold.
+    use_frustum_gates: bool = True
+    use_level_window: bool = True
     # Route projection-gated matching through the fused Pallas MXU kernel on
     # TPU (ops/pallas_matcher.fused_projection_match) — the (N_feat, N_points)
     # distance matrix never touches HBM.  Measured on v5e at the default sizes
@@ -185,7 +187,7 @@ class CapacityConfig:
 
     max_keyframes: int = 256
     max_points: int = 16384
-    max_bird_points: int = 4096
+    max_bird_points: int = 8192
     max_obs_per_point: int = 16
     max_front_kp: int = 2048          # per-frame front keypoints (pad of n_features)
     max_bird_kp: int = 2048

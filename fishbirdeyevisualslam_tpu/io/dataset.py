@@ -189,6 +189,49 @@ class DatasetSequence:
         for i in range(len(self)):
             yield self.frame(i)
 
+    def iter_prefetched(self):
+        """Iterate frames with the native prefetcher reading the four image
+        streams ahead of the consumer (``runtime.native.Prefetcher``; binary
+        PGM parsed in C).  Non-PGM layouts fall back to ``__iter__``."""
+        if self.ext != ".pgm":
+            yield from self
+            return
+        from fishbirdeyevisualslam_tpu.runtime.native import Prefetcher
+        stems = self.odom_index.stems
+        subs = ["image", "birdview", "mask", "contourICP"]
+        have = {s: os.path.isdir(os.path.join(self.root, s)) for s in subs}
+        paths = [os.path.join(self.root, s, stem + self.ext)
+                 for stem in stems for s in subs if have[s]]
+        pf = Prefetcher(paths, capacity=16)
+        try:
+            for i in range(len(stems)):
+                imgs = {}
+                for s in subs:
+                    if have[s]:
+                        imgs[s] = pf.next()
+                front = imgs["image"].astype(np.float32)
+                bird = imgs["birdview"].astype(np.float32)
+                raw_mask = imgs.get("mask")
+                mask = (preprocess_bird_mask(raw_mask > 127, self.bird_cfg)
+                        if raw_mask is not None else np.ones_like(bird, bool))
+                contour = imgs.get("contourICP")
+                if self.front_mask is not None:
+                    front = np.where(self.front_mask, front, 0.0)
+                if self.crop is not None:
+                    cw, ch = self.crop
+                    front = front[:ch, :cw]
+                if self.downsample > 1:
+                    front = front[:: self.downsample, :: self.downsample]
+                yield dict(
+                    front=front, bird=bird, mask=mask,
+                    contour=None if contour is None else contour.astype(np.float32),
+                    odom=self.odom_index.poses[i],
+                    gt=None if self.gt_index is None else self.gt_index.poses[i],
+                    timestamp=float(self.odom_index.timestamps[i]),
+                )
+        finally:
+            pf.close()
+
     def play(self, realtime: bool = True):
         """Yield frames paced to their timestamps (the reference driver sleeps
         out the remainder of each frame period, ``mono_encoder.cc:186-193``)."""
@@ -207,22 +250,36 @@ class DatasetSequence:
             yield fr
 
 
-def export_sequence(seq, root: str) -> None:
+def write_pgm(path: str, img: np.ndarray) -> None:
+    """Binary PGM (P5) writer — the format the native prefetcher parses in C."""
+    u8 = np.clip(np.asarray(img, np.float32), 0, 255).astype(np.uint8)
+    h, w = u8.shape
+    with open(path, "wb") as f:
+        f.write(f"P5\n{w} {h}\n255\n".encode())
+        f.write(u8.tobytes())
+
+
+def export_sequence(seq, root: str, fmt: str = "npy") -> None:
     """Write a synthetic sequence (``io.synthetic.SyntheticSequence``) to disk in
-    the reference layout (npy images) for loader round-trip testing and for
-    driving the native prefetcher."""
+    the reference layout for loader round-trip testing; ``fmt='pgm'`` produces
+    the binary-PGM variant the native prefetcher decodes in C."""
     for sub in ("image", "birdview", "mask", "contourICP"):
         os.makedirs(os.path.join(root, sub), exist_ok=True)
     lines_odom, lines_gt = [], []
+
+    def save(sub, stem, arr):
+        if fmt == "pgm":
+            write_pgm(os.path.join(root, sub, stem + ".pgm"), arr)
+        else:
+            np.save(os.path.join(root, sub, stem + ".npy"), arr)
+
     for i, fr in enumerate(seq.frames):
         stem = f"{i:06d}"
-        np.save(os.path.join(root, "image", stem + ".npy"), fr["front"])
-        np.save(os.path.join(root, "birdview", stem + ".npy"), fr["bird"])
-        np.save(os.path.join(root, "mask", stem + ".npy"),
-                fr["mask"].astype(np.uint8) * 255)
+        save("image", stem, fr["front"])
+        save("birdview", stem, fr["bird"])
+        save("mask", stem, fr["mask"].astype(np.uint8) * 255)
         if fr.get("contour") is not None:
-            np.save(os.path.join(root, "contourICP", stem + ".npy"),
-                    fr["contour"].astype(np.float32))
+            save("contourICP", stem, fr["contour"])
         o = seq.odom[i]
         g = seq.gt[i]
         lines_odom.append(f"{fr['timestamp']:.6f} {o[0]:.6f} {o[1]:.6f} {o[2]:.6f} {stem}")

@@ -134,8 +134,16 @@ def _blur_patches(patches37):
 
 def _detect_level(img_l, cfg: OrbConfig, n_l: int):
     """Per-level detection + selection: (yx, resp, valid, sub_dy, sub_dx)."""
-    score, raw = fast_ops.detect(img_l, float(cfg.ini_th_fast),
-                                 float(cfg.min_th_fast), with_raw=True)
+    if jax.default_backend() == "tpu":
+        # fused FAST+NMS kernel: image loaded into VMEM once, neighbor shifts
+        # and the 3x3 NMS are VMEM rolls (parity vs the XLA path tested in
+        # tests/test_pallas_fast.py)
+        from fishbirdeyevisualslam_tpu.ops.pallas_fast import fast_detect
+        score, raw = fast_detect(img_l, float(cfg.ini_th_fast),
+                                 float(cfg.min_th_fast))
+    else:
+        score, raw = fast_ops.detect(img_l, float(cfg.ini_th_fast),
+                                     float(cfg.min_th_fast), with_raw=True)
     margin = orb_ops.HALF + 1
     yx, resp = _select_grid_topk(score, n_l, cfg.grid_cell, margin)
     valid = resp > 0.0

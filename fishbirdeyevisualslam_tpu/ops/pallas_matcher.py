@@ -219,8 +219,11 @@ def _proj_match_kernel(a_pm1_ref, a_aux_ref, b_pm1_ref, b_aux_ref, out_ref,
     ok = (jnp.abs(ua - ub) <= rb) & (jnp.abs(va - vb) <= rb)
     ok = ok & (a_aux_ref[:, 3][:, None] > 0.0)
     if level_window:
-        doct = a_aux_ref[:, 2][:, None] - b_aux_ref[:, 3][None, :]
-        ok = ok & (doct >= -1.0) & (doct <= 1.0)
+        # pred < 0 marks targets with no scale estimate yet (fresh landmarks):
+        # the octave window must not gate those (match_map_points contract)
+        pred = b_aux_ref[:, 3][None, :]
+        doct = a_aux_ref[:, 2][:, None] - pred
+        ok = ok & (((doct >= -1.0) & (doct <= 1.0)) | (pred < 0.0))
 
     # tile-local best + second via packed min: p = d * 2^13 + col is exact in
     # f32 (d integer <= 257*2^13 < 2^24), so ONE min reduction yields both the

@@ -59,6 +59,20 @@ def get_library():
         lib.fbev_pipeline_queue_depth.restype = ctypes.c_int
         lib.fbev_pipeline_flush.argtypes = [ctypes.c_void_p]
         lib.fbev_pipeline_destroy.argtypes = [ctypes.c_void_p]
+        lib.fbev_prefetch_create.restype = ctypes.c_void_p
+        lib.fbev_prefetch_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int]
+        lib.fbev_prefetch_next.restype = ctypes.c_int
+        lib.fbev_prefetch_next.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.fbev_prefetch_release.restype = ctypes.c_int
+        lib.fbev_prefetch_release.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
+        lib.fbev_prefetch_outstanding.restype = ctypes.c_int
+        lib.fbev_prefetch_outstanding.argtypes = [ctypes.c_void_p]
+        lib.fbev_prefetch_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception as e:  # no toolchain / compile failure -> python fallback
         _lib_err = str(e)
@@ -150,6 +164,100 @@ class AsyncPipeline:
             self._p = None
             self._native = False
         elif hasattr(self, "_stop"):
+            self._stop.set()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class Prefetcher:
+    """Background dataset file loader (``fbev_prefetch_*``): a native worker
+    thread reads files ahead of the consumer into a bounded buffer, parsing
+    binary PGM (P5) headers in C.  Falls back to a Python thread when no
+    toolchain is available.
+
+    Usage::
+
+        pf = Prefetcher(paths)
+        for _ in paths:
+            arr = pf.next()          # (H, W) uint8 for PGM, (N,) bytes else
+        pf.close()
+
+    ``next()`` copies into numpy and releases the native buffer immediately —
+    the C side's outstanding list stays empty (leak-free by construction;
+    ``outstanding()`` exposes the counter for tests).
+    """
+
+    def __init__(self, paths, capacity: int = 8):
+        import numpy as np
+        self._np = np
+        self.paths = [os.fspath(p) for p in paths]
+        lib = get_library()
+        self._native = lib is not None
+        if self._native:
+            self._lib = lib
+            arr = (ctypes.c_char_p * len(self.paths))(
+                *[p.encode() for p in self.paths])
+            self._p = ctypes.c_void_p(
+                lib.fbev_prefetch_create(arr, len(self.paths), capacity))
+        else:
+            self._q = pyqueue.Queue(maxsize=capacity)
+            self._stop = threading.Event()
+            self._t = threading.Thread(target=self._py_loop, daemon=True)
+            self._t.start()
+
+    def _py_loop(self):
+        for p in self.paths:
+            if self._stop.is_set():
+                return
+            try:
+                with open(p, "rb") as f:
+                    self._q.put(f.read())
+            except OSError:
+                self._q.put(None)
+
+    @property
+    def is_native(self) -> bool:
+        return self._native
+
+    def outstanding(self) -> int:
+        if self._native:
+            return self._lib.fbev_prefetch_outstanding(self._p)
+        return 0
+
+    def next(self):
+        """Next file: (H, W) uint8 array for binary PGM, raw bytes otherwise;
+        None when exhausted or unreadable."""
+        np = self._np
+        if not self._native:
+            try:
+                data = self._q.get(timeout=10.0)
+            except pyqueue.Empty:
+                return None
+            return None if data is None else np.frombuffer(data, np.uint8)
+        data = ctypes.POINTER(ctypes.c_uint8)()
+        length = ctypes.c_long()
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        ok = self._lib.fbev_prefetch_next(
+            self._p, ctypes.byref(data), ctypes.byref(length),
+            ctypes.byref(w), ctypes.byref(h))
+        if not ok:
+            return None
+        buf = np.ctypeslib.as_array(data, shape=(length.value,)).copy()
+        self._lib.fbev_prefetch_release(self._p, data)
+        if w.value > 0 and h.value > 0:
+            return buf.reshape(h.value, w.value)
+        return buf
+
+    def close(self):
+        if self._native and self._p:
+            self._lib.fbev_prefetch_destroy(self._p)
+            self._p = None
+        elif not self._native and hasattr(self, "_stop"):
             self._stop.set()
 
     def __del__(self):

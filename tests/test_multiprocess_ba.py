@@ -1,0 +1,48 @@
+"""Multi-process distributed global BA (the DCN-shaped test of SURVEY §4/§7).
+
+Two OS processes x 4 virtual CPU devices each join one 8-device job through
+``jax.distributed.initialize``; the landmark-sharded global BA runs over the
+joint mesh and must match a single-device solve.  Opt-in (spawns processes and
+pays two fresh XLA startups): set ``FBEV_MULTIPROC=1``.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(ROOT, "scripts", "multiprocess_ba_worker.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.skipif(not os.environ.get("FBEV_MULTIPROC"),
+                    reason="spawns 2 JAX processes (~2 min); set FBEV_MULTIPROC=1")
+def test_two_process_parity():
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # worker sets its own
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    assert procs[0].returncode == 0, outs[0][-3000:]
+    assert procs[1].returncode == 0, outs[1][-3000:]
+    assert "PARITY_OK" in outs[0], outs[0][-3000:]
+
+
+if __name__ == "__main__":
+    os.environ.setdefault("FBEV_MULTIPROC", "1")
+    pytest.main([__file__, "-q", "-s"])
