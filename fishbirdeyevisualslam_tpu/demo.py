@@ -14,7 +14,10 @@ import json
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=30)
-    ap.add_argument("--kind", default="arc", choices=["arc", "straight", "s", "circle"])
+    ap.add_argument("--kind", default="arc",
+                    choices=["arc", "straight", "s", "circle", "rect"])
+    ap.add_argument("--no-contour", action="store_true",
+                    help="skip the contourICP keypoint gating")
     ap.add_argument("--step", type=float, default=0.5)
     ap.add_argument("--odom-noise", type=float, default=0.004)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -40,7 +43,8 @@ def main():
     )
     slam = SlamSystem(cfg)
     for i, fr in enumerate(seq.frames):
-        slam.track(fr["front"], fr["bird"], fr["mask"], seq.odom[i], fr["timestamp"])
+        slam.track(fr["front"], fr["bird"], fr["mask"], seq.odom[i], fr["timestamp"],
+                   contour=None if args.no_contour else fr.get("contour"))
         print(f"\rframe {i + 1}/{args.frames} state={slam.state} "
               f"kf={int(slam.map.n_kf) if slam.map is not None else 0}", end="")
     print()

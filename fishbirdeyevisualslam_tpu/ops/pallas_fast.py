@@ -94,12 +94,7 @@ def _fast_kernel(img_ref, score_ref, raw_ref, *, th_hi: float, th_lo: float,
     raw_ref[:, :] = s_lo
 
 
-@functools.partial(jax.jit, static_argnames=("th_hi", "th_lo", "interpret"))
-def fast_detect(img, th_hi: float, th_lo: float, interpret: bool = False):
-    """Drop-in for ``fast_ops.detect(img, th_hi, th_lo, with_raw=True)`` on TPU.
-
-    Returns (nms_score, raw_low_score), both (H, W) f32.
-    """
+def _fast_detect_whole(img, th_hi: float, th_lo: float, interpret: bool):
     h, w = img.shape
     ph = -(-h // 8) * 8
     pw = -(-w // 128) * 128
@@ -115,3 +110,39 @@ def fast_detect(img, th_hi: float, th_lo: float, interpret: bool = False):
         interpret=interpret,
     )(img_p)
     return score[:h, :w], raw[:h, :w]
+
+
+# The kernel holds ~10 full-image f32/i32 temporaries live (two-threshold
+# bitmasks + score accumulators + NMS), ~70 B/pixel of scoped VMEM.  Cap the
+# per-launch pixel count so the largest pyramid levels split into row bands;
+# an 8-row halo (3 circle + 3 boundary mask + 1 NMS + margin) makes banding
+# EXACT: each band's kept interior sees identical neighborhoods.
+_MAX_ELEMS = 160 * 1024
+_HALO = 8
+
+
+@functools.partial(jax.jit, static_argnames=("th_hi", "th_lo", "interpret"))
+def fast_detect(img, th_hi: float, th_lo: float, interpret: bool = False):
+    """Drop-in for ``fast_ops.detect(img, th_hi, th_lo, with_raw=True)`` on TPU.
+
+    Returns (nms_score, raw_low_score), both (H, W) f32.
+    """
+    h, w = img.shape
+    pw = -(-w // 128) * 128
+    if h * pw <= _MAX_ELEMS:
+        return _fast_detect_whole(img, th_hi, th_lo, interpret)
+    n_bands = -(-(h * pw) // _MAX_ELEMS)
+    band_h = -(-h // n_bands)
+    scores, raws = [], []
+    for b in range(n_bands):
+        k0 = b * band_h                      # first kept row
+        k1 = min(h, (b + 1) * band_h)        # one past last kept row
+        y0 = max(0, k0 - _HALO)
+        y1 = min(h, k1 + _HALO)
+        s, r = _fast_detect_whole(img[y0:y1], th_hi, th_lo, interpret)
+        # boundary-mask correctness: at true image edges the band edge IS the
+        # image edge (mask correct); at interior band edges the kept region is
+        # >= _HALO > 3+1 rows away from the band boundary
+        scores.append(s[k0 - y0: k1 - y0])
+        raws.append(r[k0 - y0: k1 - y0])
+    return jnp.concatenate(scores, axis=0), jnp.concatenate(raws, axis=0)

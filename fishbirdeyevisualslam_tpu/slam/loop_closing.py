@@ -125,7 +125,44 @@ def compute_loop_transform(m: ms.MapState, cur_kf, cand_kf, cfg: SystemConfig, k
     ok_all = jnp.concatenate([ok, ok_b], axis=0)
     out = ransac_sim3(p_loop_all, p_cur_all, ok_all, key, inlier_thresh=0.3,
                       min_inliers=20, fix_scale=cfg.flags.fix_scale)
-    return out.S12, out.n_inliers, out.success
+    if not cfg.flags.fix_scale:
+        return out.S12, out.n_inliers, out.success
+
+    # --- inlier reprojection refinement (the ``OptimizeSim3`` analog,
+    # ``Optimizer.cc:1560-1777``, fixed-scale): solve for the effective camera
+    # pose Q = Tcw_cur ∘ T⁻¹ that reprojects the LOOP-side landmarks onto the
+    # current KF's observed pixels (front pairs) and onto the measured
+    # camera-frame bird points (3D-3D pairs) — one pose_optimization call,
+    # then T = Q⁻¹ ∘ Tcw_cur.
+    from fishbirdeyevisualslam_tpu.geometry import sim3 as sim3_mod
+    from fishbirdeyevisualslam_tpu.solvers.pose_opt import (
+        FrontObs, BirdObs, pose_optimization,
+    )
+    inl = out.inliers
+    inl_front = inl[:F]
+    inl_bird = inl[F:]
+    lut = inv_level_sigma2_lut(cfg)
+    front_obs = FrontObs(
+        Xw=p_loop,
+        uv=m.kf_uv[cur_kf],
+        inv_sigma2=lut[jnp.clip(m.kf_octave[cur_kf], 0, lut.shape[0] - 1)],
+        valid=inl_front & ok,
+    )
+    bird_obs = BirdObs(
+        Xw=pb_loop,
+        Xc=m.kf_bird_cam[cur_kf],
+        inv_sigma2=jnp.ones((FB,), jnp.float32),
+        valid=inl_bird & ok_b,
+    )
+    T0 = sim3_mod.to_se3(out.S12)
+    Q0 = se3.compose(m.kf_Tcw[cur_kf], se3.inverse(T0))
+    ref = pose_optimization(cfg.camera, cfg.ba, Q0, front_obs, bird_obs)
+    T_ref = se3.compose(se3.inverse(ref.Tcw), m.kf_Tcw[cur_kf])
+    n_ref = ref.n_inliers
+    # keep the refinement only if it retains the RANSAC support
+    good = n_ref >= jnp.minimum(out.n_inliers, 20)
+    S_ref = sim3_mod.from_se3(jnp.where(good, T_ref, T0))
+    return S_ref, jnp.maximum(n_ref, out.n_inliers), out.success
 
 
 @functools.partial(jax.jit, static_argnums=(4,))

@@ -10,6 +10,8 @@ from fishbirdeyevisualslam_tpu.io import synthetic
 from fishbirdeyevisualslam_tpu.io.evaluate import ate_rmse_vs_gt
 from fishbirdeyevisualslam_tpu.slam.system import SlamSystem
 
+pytestmark = pytest.mark.heavy  # excluded from the <2 min smoke tier
+
 
 class TestAsyncMapping:
     def test_tracks_with_async_pipeline(self):

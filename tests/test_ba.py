@@ -9,6 +9,8 @@ from fishbirdeyevisualslam_tpu.solvers.ba import (
     PointBlocks, OdomEdges, bundle_adjust,
 )
 
+pytestmark = pytest.mark.heavy  # excluded from the <2 min smoke tier
+
 CAM = DEFAULT_CONFIG.camera
 BA = DEFAULT_CONFIG.ba
 

@@ -5,6 +5,8 @@ from fishbirdeyevisualslam_tpu.config import SystemConfig
 from fishbirdeyevisualslam_tpu.io import synthetic
 from fishbirdeyevisualslam_tpu.slam.bird_odometer import BirdOdometer, edge_cloud, icp_se2
 
+pytestmark = pytest.mark.heavy  # excluded from the <2 min smoke tier
+
 
 class TestBirdOdometer:
     def test_edge_cloud_metric(self):

@@ -13,6 +13,8 @@ from fishbirdeyevisualslam_tpu.io import synthetic
 from fishbirdeyevisualslam_tpu.io.evaluate import ate_rmse_vs_gt
 from fishbirdeyevisualslam_tpu.slam.system import SlamSystem
 
+pytestmark = pytest.mark.heavy  # excluded from the <2 min smoke tier
+
 
 @pytest.fixture(scope="module")
 def arc_run():

@@ -11,6 +11,8 @@ from fishbirdeyevisualslam_tpu.ops import matcher
 from fishbirdeyevisualslam_tpu.slam.frame import desc_pm1_from_packed
 from fishbirdeyevisualslam_tpu.ops.pallas_matcher import fused_projection_match
 
+pytestmark = pytest.mark.heavy  # excluded from the <2 min smoke tier
+
 
 def make_problem(na=300, nb=700, seed=0):
     rng = np.random.RandomState(seed)

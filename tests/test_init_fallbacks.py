@@ -13,6 +13,8 @@ from fishbirdeyevisualslam_tpu.slam.frame import build_frame
 from fishbirdeyevisualslam_tpu.slam import tracking as tr
 from fishbirdeyevisualslam_tpu.slam import map_state as ms
 
+pytestmark = pytest.mark.heavy  # excluded from the <2 min smoke tier
+
 
 def _frames(cfg, n=2, kind="arc", noise=0.0, seed=0):
     seq = synthetic.make_sequence(cfg, n_frames=n, kind=kind,

@@ -7,6 +7,8 @@ from fishbirdeyevisualslam_tpu.config import DEFAULT_CONFIG
 from fishbirdeyevisualslam_tpu.geometry import se3, camera
 from fishbirdeyevisualslam_tpu.solvers import initializer
 
+pytestmark = pytest.mark.heavy  # excluded from the <2 min smoke tier
+
 CAM = DEFAULT_CONFIG.camera
 
 

@@ -18,6 +18,8 @@ from fishbirdeyevisualslam_tpu.geometry import se3, sim3
 from fishbirdeyevisualslam_tpu.slam import map_state as ms
 from fishbirdeyevisualslam_tpu.slam import loop_closing as lc
 
+pytestmark = pytest.mark.heavy  # excluded from the <2 min smoke tier
+
 CFG = SystemConfig().replace(capacity=CapacityConfig(
     max_keyframes=16, max_points=256, max_bird_points=256,
     max_obs_per_point=8, max_front_kp=64, max_bird_kp=64,

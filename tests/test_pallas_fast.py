@@ -7,6 +7,8 @@ import pytest
 from fishbirdeyevisualslam_tpu.ops import fast as fast_ops
 from fishbirdeyevisualslam_tpu.ops.pallas_fast import fast_detect
 
+pytestmark = pytest.mark.heavy  # excluded from the <2 min smoke tier
+
 
 class TestPallasFast:
     @pytest.mark.parametrize("shape", [(64, 128), (100, 200), (57, 131)])

@@ -17,6 +17,8 @@ import sys, os
 sys.path.insert(0, os.path.dirname(__file__))
 from test_ba import build_problem, CAM, BA  # noqa: E402
 
+pytestmark = pytest.mark.heavy  # excluded from the <2 min smoke tier
+
 CFG = SystemConfig()
 
 

@@ -17,6 +17,8 @@ from fishbirdeyevisualslam_tpu.io import synthetic
 from fishbirdeyevisualslam_tpu.slam import tracking as tr
 from fishbirdeyevisualslam_tpu.slam.system import SlamSystem
 
+pytestmark = pytest.mark.heavy  # excluded from the <2 min smoke tier
+
 
 @pytest.fixture(scope="module")
 def mapped_run():

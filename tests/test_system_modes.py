@@ -7,11 +7,14 @@ triggered by Tracking itself when lost with <= 5 keyframes
 """
 
 import numpy as np
+import pytest
 
 from fishbirdeyevisualslam_tpu.config import SystemConfig
 from fishbirdeyevisualslam_tpu.io import synthetic
 from fishbirdeyevisualslam_tpu.io.evaluate import ate_rmse_vs_gt
 from fishbirdeyevisualslam_tpu.slam.system import SlamSystem
+
+pytestmark = pytest.mark.heavy  # excluded from the <2 min smoke tier
 
 
 class TestSystemModes:
