@@ -53,6 +53,12 @@ class BirdConfig:
     # in BirdMapPointMatch, ORBmatcher.cc:1763-1902).
     plane_gate: float = 0.2
     filter_size: float = 0.05
+    # Multiplier on filter_size for the live BirdMapPointMatch 3D gate.  The
+    # reference gates at 1x (ORBmatcher.cc:1886); our bird keypoints come from
+    # subpixel FAST on the IPM render whose prediction error under a 1-frame
+    # odometry prior can exceed 5 cm.  Sweep via
+    # scripts/robustness_eval.py --bird-gate-mult (results in STATUS.md).
+    filter_gate_mult: float = 3.0
 
 
 @dataclasses.dataclass(frozen=True)

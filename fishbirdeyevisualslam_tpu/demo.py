@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--odom-noise", type=float, default=0.004)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--out-prefix", default="demo")
+    ap.add_argument("--draw-every", type=int, default=0, metavar="N",
+                    help="export a FrameDrawer overlay PNG every N frames "
+                         "(<prefix>_frame_<i>.png); 0 = off")
     args = ap.parse_args()
 
     import jax
@@ -42,9 +45,14 @@ def main():
         odom_noise=args.odom_noise,
     )
     slam = SlamSystem(cfg)
+    drawer = viz.FrameDrawer() if args.draw_every else None
     for i, fr in enumerate(seq.frames):
+        contour = None if args.no_contour else fr.get("contour")
         slam.track(fr["front"], fr["bird"], fr["mask"], seq.odom[i], fr["timestamp"],
-                   contour=None if args.no_contour else fr.get("contour"))
+                   contour=contour)
+        if drawer is not None and (i % args.draw_every == 0):
+            drawer.update(slam, fr["front"], fr["bird"], contour=contour)
+            drawer.save(f"{args.out_prefix}_frame_{i:04d}.png")
         print(f"\rframe {i + 1}/{args.frames} state={slam.state} "
               f"kf={int(slam.map.n_kf) if slam.map is not None else 0}", end="")
     print()

@@ -12,6 +12,115 @@ from __future__ import annotations
 
 import numpy as np
 
+# overlay colors (RGB)
+_GREEN = np.array([40, 220, 60], np.uint8)    # tracked map point
+_BLUE = np.array([80, 140, 255], np.uint8)    # detected, unmatched
+_ORANGE = np.array([255, 160, 40], np.uint8)  # bird match
+_RED = np.array([230, 60, 60], np.uint8)      # contour edge recolor
+
+
+def _gray_to_rgb(gray) -> np.ndarray:
+    g = np.asarray(gray, np.float32)
+    g = np.clip(g, 0, 255).astype(np.uint8)
+    return np.stack([g, g, g], axis=-1)
+
+
+def _draw_squares(rgb: np.ndarray, uv: np.ndarray, color: np.ndarray,
+                  half: int = 3) -> None:
+    """Rasterize hollow squares around keypoints in-place (the reference draws
+    ``cv::rectangle`` + ``cv::circle`` per keypoint, ``FrameDrawer.cc:83-116``)."""
+    h, w = rgb.shape[:2]
+    for u, v in uv:
+        x, y = int(round(u)), int(round(v))
+        x0, x1 = max(x - half, 0), min(x + half, w - 1)
+        y0, y1 = max(y - half, 0), min(y + half, h - 1)
+        if x1 <= x0 or y1 <= y0:
+            continue
+        rgb[y0, x0:x1 + 1] = color
+        rgb[y1, x0:x1 + 1] = color
+        rgb[y0:y1 + 1, x0] = color
+        rgb[y0:y1 + 1, x1] = color
+
+
+def draw_frame_overlay(front_gray, uv, matched_mask, valid_mask,
+                       state: int = 1, n_tracked: int | None = None) -> np.ndarray:
+    """``FrameDrawer::DrawFrame`` analog (``FrameDrawer.cc:40-128``): the front
+    image with green squares on features matched to map points and blue on
+    unmatched detections, plus a status strip.  Returns an (H+20, W, 3) uint8
+    RGB image; pure host-side numpy, out of the metric path."""
+    rgb = _gray_to_rgb(front_gray)
+    uv = np.asarray(uv)
+    matched = np.asarray(matched_mask, bool)
+    valid = np.asarray(valid_mask, bool)
+    _draw_squares(rgb, uv[valid & ~matched], _BLUE, half=2)
+    _draw_squares(rgb, uv[valid & matched], _GREEN, half=3)
+    # status strip: state + counter rendered as a simple intensity bar
+    # (the reference rasterizes text with cv::putText; a headless export keeps
+    # the counts in the filename/log and encodes state as strip color)
+    strip = np.zeros((20, rgb.shape[1], 3), np.uint8)
+    strip[:] = {0: (90, 90, 90), 1: (30, 120, 30), 2: (140, 40, 40)}.get(
+        int(state), (90, 90, 90))
+    n = int(matched[valid].sum()) if n_tracked is None else int(n_tracked)
+    px = min(max(n * 2, 0), rgb.shape[1])
+    strip[6:14, :px] = (230, 230, 230)
+    return np.concatenate([rgb, strip], axis=0)
+
+
+def draw_bird_overlay(bird_gray, bird_uv, matched_mask, valid_mask,
+                      contour=None) -> np.ndarray:
+    """``FrameDrawer::DrawBird``/``DrawBirdMatches`` analog
+    (``FrameDrawer.cc:130-224``): bird view with contour edges recolored red
+    and matched bird keypoints in orange, detections in blue."""
+    rgb = _gray_to_rgb(bird_gray)
+    if contour is not None:
+        edge = np.asarray(contour) < 150
+        rgb[edge] = (rgb[edge] // 2) + _RED // 2
+    uv = np.asarray(bird_uv)
+    matched = np.asarray(matched_mask, bool)
+    valid = np.asarray(valid_mask, bool)
+    _draw_squares(rgb, uv[valid & ~matched], _BLUE, half=2)
+    _draw_squares(rgb, uv[valid & matched], _ORANGE, half=3)
+    return rgb
+
+
+class FrameDrawer:
+    """Per-frame overlay exporter — the reference ``FrameDrawer`` snapshots the
+    Tracking state each frame (``FrameDrawer::Update``, ``FrameDrawer.cc:264``)
+    and the Viewer renders it; here ``update()`` snapshots ``SlamSystem`` and
+    ``save()`` writes a side-by-side front|bird PNG."""
+
+    def __init__(self):
+        self._front = None
+        self._bird = None
+
+    def update(self, system, front_gray, bird_gray, contour=None):
+        f = system.last_frame
+        if f is None:
+            return
+        assoc = system.last_assoc
+        fm = (np.asarray(assoc.mp_idx) >= 0) if assoc is not None \
+            else np.zeros(np.asarray(f.uv_raw).shape[0], bool)
+        bm = (np.asarray(assoc.bp_idx) >= 0) if assoc is not None \
+            else np.zeros(np.asarray(f.bird_uv).shape[0], bool)
+        self._front = draw_frame_overlay(
+            front_gray, f.uv_raw, fm, f.kp_valid, state=system.state)
+        self._bird = draw_bird_overlay(
+            bird_gray, f.bird_uv, bm, f.bird_kp_valid, contour=contour)
+
+    def save(self, path: str) -> None:
+        if self._front is None:
+            return
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        hf, wf = self._front.shape[:2]
+        hb, wb = self._bird.shape[:2]
+        h = max(hf, hb)
+        canvas = np.zeros((h, wf + wb, 3), np.uint8)
+        canvas[:hf, :wf] = self._front
+        canvas[:hb, wf:] = self._bird
+        plt.imsave(path, canvas)
+
 
 def plot_map(m, cfg, path: str, gt_se2=None, est_Twb=None) -> None:
     """Top-down map plot: front/bird points, keyframes, covisibility edges."""

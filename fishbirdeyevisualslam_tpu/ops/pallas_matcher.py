@@ -247,6 +247,69 @@ def _proj_match_kernel(a_pm1_ref, a_aux_ref, b_pm1_ref, b_aux_ref, out_ref,
     out_ref[:, 2] = jnp.where(take_new & (t1 < BIG), t_idx, bi)
 
 
+def _proj_match_kernel_dual(a_pm1_ref, a_aux_ref, b_pm1_ref, b_aux_ref, out_ref,
+                            *, level_window: bool, r2_scale: float):
+    """Dual-radius variant of ``_proj_match_kernel``: ONE MXU distance pass,
+    TWO gated top-2 reductions — radius r (cols 0-2) and r*r2_scale (cols 3-5).
+
+    Motivation: ``Tracking::TrackWithMotionModel`` retries with a doubled
+    window when the first search finds <20 matches (``Tracking.cc:1358-1365``).
+    The fused tracking core selects between both on-device; computing them in
+    one kernel halves the dominant (N_feat x N_map) matmul work."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :] = jnp.full_like(out_ref, BIG)
+        out_ref[:, 2] = jnp.full((out_ref.shape[0],), -1.0, out_ref.dtype)
+        out_ref[:, 5] = jnp.full((out_ref.shape[0],), -1.0, out_ref.dtype)
+
+    ta = a_pm1_ref.shape[0]
+    tb = b_pm1_ref.shape[0]
+    dot = jax.lax.dot_general(
+        a_pm1_ref[:, :], b_pm1_ref[:, :],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    d = 0.5 * (256.0 - dot)
+
+    ua = a_aux_ref[:, 0][:, None]
+    va = a_aux_ref[:, 1][:, None]
+    ub = b_aux_ref[:, 0][None, :]
+    vb = b_aux_ref[:, 1][None, :]
+    rb = b_aux_ref[:, 2][None, :]
+    du = jnp.abs(ua - ub)
+    dv = jnp.abs(va - vb)
+    base_ok = a_aux_ref[:, 3][:, None] > 0.0
+    if level_window:
+        pred = b_aux_ref[:, 3][None, :]
+        doct = a_aux_ref[:, 2][:, None] - pred
+        base_ok = base_ok & (((doct >= -1.0) & (doct <= 1.0)) | (pred < 0.0))
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (ta, tb), 1).astype(jnp.float32)
+
+    for r_mult, c0 in ((1.0, 0), (r2_scale, 3)):
+        r_here = rb * r_mult
+        ok = base_ok & (du <= r_here) & (dv <= r_here)
+        p = jnp.where(ok, d * 8192.0 + col, BIG)
+        p1 = jnp.min(p, axis=1)
+        t1 = jnp.where(p1 >= BIG, BIG, jnp.floor(p1 / 8192.0))
+        ti = p1 - jnp.floor(p1 / 8192.0) * 8192.0
+        p2 = jnp.min(jnp.where(col == ti[:, None], BIG, p), axis=1)
+        t2 = jnp.where(p2 >= BIG, BIG, jnp.floor(p2 / 8192.0))
+        t_idx = ti + (j * tb).astype(jnp.float32)
+
+        b1 = out_ref[:, c0 + 0]
+        b2 = out_ref[:, c0 + 1]
+        bi = out_ref[:, c0 + 2]
+        take_new = t1 < b1
+        loser = jnp.where(take_new, b1, t1)
+        out_ref[:, c0 + 0] = jnp.minimum(b1, t1)
+        out_ref[:, c0 + 1] = jnp.minimum(jnp.minimum(b2, t2), loser)
+        out_ref[:, c0 + 2] = jnp.where(take_new & (t1 < BIG), t_idx, bi)
+
+
 # Tile sizes for the MXU projection matcher, swept on v5e at (2048 x 16384):
 # (256,512) 0.98 ms, (512,1024) 0.58, (1024,1024) 0.51, (1024,2048) 0.49 ms
 # (grid-step overhead amortizes with bigger tiles; (2048,2048) overflows VMEM —
@@ -327,3 +390,70 @@ def fused_projection_match(pm1_a, uv_a, oct_a, valid_a,
         ok = ok & (best < ratio * second)
     return MatchResult(jnp.where(ok, idx, -1),
                        jnp.where(ok, best, BIG), ok)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("level_window", "r2_scale", "interpret",
+                                    "tile_a", "tile_b"))
+def fused_projection_match_dual(pm1_a, uv_a, oct_a, valid_a,
+                                pm1_b, uv_b, radius_b, pred_b, valid_b,
+                                max_dist, r2_scale: float = 2.0,
+                                level_window: bool = False,
+                                interpret: bool = False,
+                                tile_a: int = PROJ_TILE_A,
+                                tile_b: int = PROJ_TILE_B):
+    """Like ``fused_projection_match`` but evaluates TWO window radii —
+    ``radius_b`` and ``radius_b * r2_scale`` — from one distance pass.
+    Returns ``(MatchResult_r1, MatchResult_r2)``."""
+    from fishbirdeyevisualslam_tpu.ops.matcher import MatchResult
+
+    na, nb = pm1_a.shape[0], pm1_b.shape[0]
+    tile_a = min(tile_a, -(-na // 8) * 8)
+    tile_b = min(tile_b, -(-nb // 128) * 128)
+    assert tile_b <= 8192, "packed top-2 reduction requires tile_b <= 8192"
+    pa = -(-na // tile_a) * tile_a
+    pb = -(-nb // tile_b) * tile_b
+    bf = jnp.bfloat16
+    a = jnp.zeros((pa, 256), bf).at[:na].set(pm1_a.astype(bf))
+    b = jnp.zeros((pb, 256), bf).at[:nb].set(pm1_b.astype(bf))
+    a_aux = jnp.concatenate([
+        uv_a.astype(jnp.float32),
+        oct_a.astype(jnp.float32)[:, None],
+        valid_a.astype(jnp.float32)[:, None],
+    ], axis=1)
+    a_aux = jnp.pad(a_aux, ((0, pa - na), (0, 0)))
+    r_eff = jnp.where(valid_b, jnp.broadcast_to(
+        jnp.asarray(radius_b, jnp.float32), (nb,)), -1.0)
+    b_aux = jnp.concatenate([
+        uv_b.astype(jnp.float32),
+        r_eff[:, None],
+        pred_b.astype(jnp.float32)[:, None],
+    ], axis=1)
+    b_aux = jnp.pad(b_aux, ((0, pb - nb), (0, 0)), constant_values=-1.0)
+
+    grid = (pa // tile_a, pb // tile_b)
+    out = pl.pallas_call(
+        functools.partial(_proj_match_kernel_dual, level_window=level_window,
+                          r2_scale=r2_scale),
+        out_shape=jax.ShapeDtypeStruct((pa, 128), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_a, 256), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_a, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 256), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 4), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_a, 128), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(a, a_aux, b, b_aux)
+    results = []
+    for c0 in (0, 3):
+        best = out[:na, c0]
+        idx = out[:na, c0 + 2].astype(jnp.int32)
+        ok = best <= max_dist
+        results.append(MatchResult(jnp.where(ok, idx, -1),
+                                   jnp.where(ok, best, BIG), ok))
+    return tuple(results)

@@ -300,25 +300,10 @@ class TrackObs(NamedTuple):
     bp_idx: jnp.ndarray    # (FB,) int32 bird point per bird feature, -1 none
 
 
-@functools.partial(jax.jit, static_argnums=(2, 7))
-def match_map_points(
-    m: ms.MapState, f: Frame, cfg: SystemConfig, Tcw_pred,
-    cand_mask, radius: jnp.ndarray, max_dist: jnp.ndarray,
-    frustum_gates: bool = False,
-):
-    """Project candidate map points into the frame and match in a window —
-    the core of both ``SearchByProjection`` variants (last-frame ``ORBmatcher.cc:1329``
-    and local-map ``:46``).  cand_mask: (P,) bool candidate set; radius: scalar px.
-    Returns MatchResult over FEATURES (query = features, target = points).
-
-    The per-point search radius is scaled by the predicted pyramid level (the
-    reference multiplies the window by ``mvScaleFactors[nPredictedLevel]``) and
-    feature octaves must sit within one level of the prediction.  With
-    ``frustum_gates`` the local-map variant's ``Frame::isInFrustum`` checks are
-    added: distance within the point's scale-invariance range [0.8 d_min,
-    1.2 d_max] and mean-viewing-angle cos > 0.5 (``Frame.cc:435-491``).
-    """
-    P = m.mp_pos.shape[0]
+def _project_front_gates(m: ms.MapState, cfg: SystemConfig, Tcw_pred,
+                         cand_mask, frustum_gates: bool):
+    """Shared projection + visibility/scale gating for the SearchByProjection
+    variants: returns (uv_proj, vis, predicted_level, scale_estimated, r_scale)."""
     pc = se3.transform(Tcw_pred, m.mp_pos)
     uv_proj = cam_ops.project_pinhole(cfg.camera, pc)
     vis = cand_mask & m.mp_valid & (pc[:, 2] > 0.1)
@@ -347,6 +332,66 @@ def match_map_points(
     # octave and would gate out every feature (the round-1 gate starvation)
     est = m.mp_max_dist < 1e8
     r_scale = jnp.where(est, sf_lut[pred], 1.0)
+    return uv_proj, vis, pred, est, r_scale
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def match_map_points_dual(m: ms.MapState, f: Frame, cfg: SystemConfig, Tcw_pred,
+                          cand_mask, radius, max_dist):
+    """``TrackWithMotionModel``'s search + its doubled-window retry
+    (``Tracking.cc:1358-1365``) evaluated together: returns
+    ``(res_radius, res_2x_radius)`` so the caller selects on-device.  On the
+    fused-matcher TPU path both come out of ONE distance pass."""
+    uv_proj, vis, pred, est, r_scale = _project_front_gates(
+        m, cfg, Tcw_pred, cand_mask, False)
+    P = m.mp_pos.shape[0]
+    r_pt = radius * r_scale
+    mp_pm1 = desc_pm1_from_packed(m.mp_desc)
+    if cfg.tracking.use_fused_matcher and jax.default_backend() == "tpu":
+        from fishbirdeyevisualslam_tpu.ops import pallas_matcher
+        pred_eff = jnp.where(est, pred, -1)
+        res1, res2 = pallas_matcher.fused_projection_match_dual(
+            f.desc_pm1, f.uv, f.octave, f.kp_valid,
+            mp_pm1, uv_proj, r_pt, pred_eff, vis,
+            max_dist=max_dist, r2_scale=2.0,
+            level_window=bool(cfg.tracking.use_level_window))
+    else:
+        results = []
+        for r_here in (r_pt, 2.0 * r_pt):
+            d_uv = jnp.abs(f.uv[:, None, :] - uv_proj[None, :, :])
+            compat = (d_uv[..., 0] <= r_here[None, :]) & (d_uv[..., 1] <= r_here[None, :])
+            if cfg.tracking.use_level_window:
+                d_oct = f.octave[:, None] - pred[None, :]
+                compat = compat & (((d_oct >= -1) & (d_oct <= 1)) | ~est[None, :])
+            compat = compat & f.kp_valid[:, None] & vis[None, :]
+            results.append(matcher.match(f.desc_pm1, mp_pm1, compat,
+                                         max_dist=max_dist))
+        res1, res2 = results
+    return (matcher.resolve_duplicates(res1, P),
+            matcher.resolve_duplicates(res2, P))
+
+
+@functools.partial(jax.jit, static_argnums=(2, 7))
+def match_map_points(
+    m: ms.MapState, f: Frame, cfg: SystemConfig, Tcw_pred,
+    cand_mask, radius: jnp.ndarray, max_dist: jnp.ndarray,
+    frustum_gates: bool = False,
+):
+    """Project candidate map points into the frame and match in a window —
+    the core of both ``SearchByProjection`` variants (last-frame ``ORBmatcher.cc:1329``
+    and local-map ``:46``).  cand_mask: (P,) bool candidate set; radius: scalar px.
+    Returns MatchResult over FEATURES (query = features, target = points).
+
+    The per-point search radius is scaled by the predicted pyramid level (the
+    reference multiplies the window by ``mvScaleFactors[nPredictedLevel]``) and
+    feature octaves must sit within one level of the prediction.  With
+    ``frustum_gates`` the local-map variant's ``Frame::isInFrustum`` checks are
+    added: distance within the point's scale-invariance range [0.8 d_min,
+    1.2 d_max] and mean-viewing-angle cos > 0.5 (``Frame.cc:435-491``).
+    """
+    uv_proj, vis, pred, est, r_scale = _project_front_gates(
+        m, cfg, Tcw_pred, cand_mask, frustum_gates)
+    P = m.mp_pos.shape[0]
     r_pt = radius * r_scale                                # (P,) per-point radius
     mp_pm1 = desc_pm1_from_packed(m.mp_desc)
     if cfg.tracking.use_fused_matcher and jax.default_backend() == "tpu":
@@ -394,10 +439,11 @@ def match_bird_points(m: ms.MapState, f: Frame, cfg: SystemConfig, Tcw_pred, can
         compat = compat & f.bird_kp_valid[:, None] & vis[None, :]
         res = matcher.match(f.bird_desc_pm1, bp_pm1, compat,
                             max_dist=float(cfg.matcher.th_high))
-    # 3D gate: coordinate-wise |bird_cam - predicted_cam| < 3*filter_size
+    # 3D gate: coordinate-wise |bird_cam - predicted_cam| < mult*filter_size
+    # (reference: 1x, ORBmatcher.cc:1886; see BirdConfig.filter_gate_mult)
     pc_of_match = pc[jnp.clip(res.idx, 0, PB - 1)]
     d = jnp.abs(f.bird_cam - pc_of_match)
-    ok3d = jnp.all(d < 3 * cfg.bird.filter_size, axis=-1)
+    ok3d = jnp.all(d < cfg.bird.filter_gate_mult * cfg.bird.filter_size, axis=-1)
     ok = res.ok & ok3d
     res = matcher.MatchResult(jnp.where(ok, res.idx, -1), jnp.where(ok, res.dist, matcher.BIG), ok)
     return matcher.resolve_duplicates(res, PB)
@@ -456,11 +502,11 @@ def track_frame_core(m: ms.MapState, f: Frame, cfg: SystemConfig,
     ~15 per-frame host syncs — the host reads back ONE small scalar vector to
     drive the state machine (VERDICT round-1 weak #2)."""
     P = m.mp_pos.shape[0]
-    # --- TrackWithMotionModel with on-device window widening (Tracking.cc:1361)
-    res15, _ = match_map_points(m, f, cfg, Tcw_pred, cand_last,
-                                jnp.float32(15.0), jnp.float32(cfg.matcher.th_high))
-    res30, _ = match_map_points(m, f, cfg, Tcw_pred, cand_last,
-                                jnp.float32(30.0), jnp.float32(cfg.matcher.th_high))
+    # --- TrackWithMotionModel with on-device window widening (Tracking.cc:1361);
+    # both radii come from ONE fused distance pass (dual-radius kernel)
+    res15, res30 = match_map_points_dual(
+        m, f, cfg, Tcw_pred, cand_last,
+        jnp.float32(15.0), jnp.float32(cfg.matcher.th_high))
     use30 = res15.count < cfg.tracking.min_track_matches
     res = matcher.MatchResult(
         jnp.where(use30, res30.idx, res15.idx),

@@ -1,0 +1,101 @@
+"""Time the REAL fused frame program (``tracking.track_frame_core``) on the
+selected backend with a realistic populated MapState, isolating it from host
+state-machine overhead.  Compares single-radius vs dual-radius motion-model
+matching and optionally dumps a profiler trace (FBEV_TRACE=1)."""
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/fbev_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+print("backend:", jax.default_backend(), flush=True)
+
+from fishbirdeyevisualslam_tpu.config import SystemConfig
+from fishbirdeyevisualslam_tpu.geometry import se3
+from fishbirdeyevisualslam_tpu.slam import map_state as ms, tracking as tr
+from fishbirdeyevisualslam_tpu.slam.frame import build_frame
+
+cfg = SystemConfig()
+cap = cfg.capacity
+rng = np.random.RandomState(0)
+
+# populated map at full capacity
+m = ms.empty_map(cfg)
+P = cap.max_points
+PB = cap.max_bird_points
+K = min(cap.max_keyframes, 32)
+m = m._replace(
+    mp_pos=jnp.asarray(np.stack([
+        rng.uniform(-10, 10, P), rng.uniform(-5, 5, P), rng.uniform(5, 40, P)
+    ], -1).astype(np.float32)),
+    mp_desc=jnp.asarray(rng.randint(0, 2**32, (P, 8), dtype=np.uint64).astype(np.uint32)),
+    mp_valid=jnp.ones((P,), bool),
+    mp_max_dist=jnp.full((P,), 60.0),
+    mp_min_dist=jnp.full((P,), 1.0),
+    bp_pos=jnp.asarray(np.stack([
+        rng.uniform(2, 12, PB), rng.uniform(-6, 6, PB), np.zeros(PB)
+    ], -1).astype(np.float32)),
+    bp_desc=jnp.asarray(rng.randint(0, 2**32, (PB, 8), dtype=np.uint64).astype(np.uint32)),
+    bp_valid=jnp.ones((PB,), bool),
+    bp_ref_kf=jnp.zeros((PB,), jnp.int32),
+    kf_valid=m.kf_valid.at[:K].set(True),
+    n_kf=jnp.int32(K),
+    obs_kf=m.obs_kf.at[:, 0].set(jnp.arange(P, dtype=jnp.int32) % K),
+    obs_valid=m.obs_valid.at[:, 0].set(True),
+)
+
+front = jnp.asarray(rng.rand(cfg.camera.height, cfg.camera.width).astype(np.float32) * 255)
+bird = jnp.asarray(rng.rand(cfg.bird.rows, cfg.bird.cols).astype(np.float32) * 255)
+mask = jnp.ones((cfg.bird.rows, cfg.bird.cols), jnp.float32) * 255
+
+f = build_frame(front, bird, mask, jnp.zeros(3), jnp.asarray(0.0), cfg,
+                cap.max_front_kp, None, cap.max_bird_kp)
+Tcw = se3.identity()
+cand = jnp.ones((P,), bool)
+
+step = jax.jit(tr.track_frame_core, static_argnums=(2,))
+
+
+def timeit(label, fn, *args, reps=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{label}: {dt * 1e3:.3f} ms", flush=True)
+    return dt
+
+
+t_core = timeit("track_frame_core (dispatch each call)", step, m, f, cfg, Tcw, cand)
+
+# scanned stream (host out of the loop) — chip-work-only number
+N = 16
+
+@jax.jit
+def stream(m, f, Tcw):
+    def body(c, i):
+        out = step(m, f._replace(timestamp=f.timestamp + i), cfg, c, cand)
+        return out.Tcw, out.scalars
+    T, s = jax.lax.scan(body, Tcw, jnp.arange(N, dtype=jnp.float32))
+    return T, s
+
+out = stream(m, f, Tcw)
+jax.block_until_ready(out)
+t0 = time.perf_counter()
+for _ in range(3):
+    out = stream(m, f, Tcw)
+jax.block_until_ready(out)
+dt = (time.perf_counter() - t0) / (3 * N)
+print(f"track_frame_core (scanned stream): {dt * 1e3:.3f} ms -> {1/dt:.1f} fps", flush=True)
+
+if os.environ.get("FBEV_TRACE"):
+    with jax.profiler.trace("/tmp/fbev_trace"):
+        for _ in range(5):
+            out = step(m, f, cfg, Tcw, cand)
+        jax.block_until_ready(out)
+    print("trace written to /tmp/fbev_trace", flush=True)

@@ -17,8 +17,13 @@ from fishbirdeyevisualslam_tpu.slam.system import SlamSystem
 from fishbirdeyevisualslam_tpu.slam import tracking as tr
 
 
-def run(n_frames=80, kind="circle", noise=0.02, seed=0, use_contour=True):
+def run(n_frames=80, kind="circle", noise=0.02, seed=0, use_contour=True,
+        bird_gate_mult=None):
     cfg = SystemConfig()
+    if bird_gate_mult is not None:
+        import dataclasses
+        cfg = cfg.replace(bird=dataclasses.replace(
+            cfg.bird, filter_gate_mult=bird_gate_mult))
     seq = synthetic.make_sequence(cfg, n_frames=n_frames, kind=kind,
                                   odom_noise=noise, seed=seed)
     sys_ = SlamSystem(cfg)
@@ -61,5 +66,8 @@ if __name__ == "__main__":
     p.add_argument("--noise", type=float, default=0.02)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-contour", action="store_true")
+    p.add_argument("--bird-gate-mult", type=float, default=None,
+                   help="override BirdConfig.filter_gate_mult (reference = 1.0)")
     a = p.parse_args()
-    run(a.frames, a.kind, a.noise, a.seed, use_contour=not a.no_contour)
+    run(a.frames, a.kind, a.noise, a.seed, use_contour=not a.no_contour,
+        bird_gate_mult=a.bird_gate_mult)

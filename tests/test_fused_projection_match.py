@@ -59,6 +59,24 @@ def test_parity(level_window, ratio):
     np.testing.assert_allclose(np.asarray(ref.dist), np.asarray(fused.dist))
 
 
+@pytest.mark.parametrize("level_window", [False, True])
+def test_dual_radius_parity(level_window):
+    from fishbirdeyevisualslam_tpu.ops.pallas_matcher import (
+        fused_projection_match_dual,
+    )
+    prob = make_problem(seed=4)
+    res1, res2 = fused_projection_match_dual(
+        *prob, max_dist=60.0, r2_scale=2.0, level_window=level_window,
+        interpret=True)
+    for res, scale in ((res1, 1.0), (res2, 2.0)):
+        p = list(prob)
+        p[6] = prob[6] * scale
+        ref = dense_reference(*p, max_dist=60.0, level_window=level_window)
+        np.testing.assert_array_equal(np.asarray(ref.ok), np.asarray(res.ok))
+        np.testing.assert_array_equal(np.asarray(ref.idx), np.asarray(res.idx))
+        np.testing.assert_allclose(np.asarray(ref.dist), np.asarray(res.dist))
+
+
 def test_all_invalid_targets():
     prob = list(make_problem(na=64, nb=128, seed=2))
     prob[8] = jnp.zeros(128, bool)  # valid_b

@@ -1,6 +1,6 @@
 """Scale-invariance / frustum gate tests for map-point matching
 (``Frame::isInFrustum`` + ``MapPoint::PredictScale`` semantics; the gates are
-config-flagged, default off — see ``TrackingConfig``)."""
+ON by default since round 2 — BASE pins them off to test the delta)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -16,8 +16,12 @@ from fishbirdeyevisualslam_tpu.slam.frame import Frame
 BASE = SystemConfig().replace(capacity=CapacityConfig(
     max_keyframes=8, max_points=64, max_bird_points=32,
     max_obs_per_point=4, max_front_kp=32, max_bird_kp=32,
-    max_local_kfs=4, max_local_points=32))
-GATED = BASE.replace(tracking=TrackingConfig(use_frustum_gates=True))
+    max_local_kfs=4, max_local_points=32)).replace(
+    tracking=TrackingConfig(use_frustum_gates=False))
+# isolate the frustum gates: the octave window would also gate these synthetic
+# octave-0 features (their scale ranges imply a high predicted level)
+GATED = BASE.replace(tracking=TrackingConfig(use_frustum_gates=True,
+                                             use_level_window=False))
 
 
 def make_frame_and_map(point_dists, min_dists, max_dists, normals=None, seed=0):
