@@ -289,10 +289,16 @@ def _proj_match_kernel_dual(a_pm1_ref, a_aux_ref, b_pm1_ref, b_aux_ref, out_ref,
 
     col = jax.lax.broadcasted_iota(jnp.int32, (ta, tb), 1).astype(jnp.float32)
 
-    for r_mult, c0 in ((1.0, 0), (r2_scale, 3)):
-        r_here = rb * r_mult
-        ok = base_ok & (du <= r_here) & (dv <= r_here)
-        p = jnp.where(ok, d * 8192.0 + col, BIG)
+    # VMEM liveness: build the WIDE-radius packed matrix once (fusing d away),
+    # then derive the narrow one by masking it — the distance matrix is never
+    # consumed by two reduction chains, which would force Mosaic to materialize
+    # every elementwise temporary on the 16 MB kernel stack.
+    r_wide = rb * r2_scale
+    p_wide = jnp.where(base_ok & (du <= r_wide) & (dv <= r_wide),
+                       d * 8192.0 + col, BIG)
+    p_narrow = jnp.where((du <= rb) & (dv <= rb), p_wide, BIG)
+
+    for p, c0 in ((p_narrow, 0), (p_wide, 3)):
         p1 = jnp.min(p, axis=1)
         t1 = jnp.where(p1 >= BIG, BIG, jnp.floor(p1 / 8192.0))
         ti = p1 - jnp.floor(p1 / 8192.0) * 8192.0
@@ -400,11 +406,18 @@ def fused_projection_match_dual(pm1_a, uv_a, oct_a, valid_a,
                                 max_dist, r2_scale: float = 2.0,
                                 level_window: bool = False,
                                 interpret: bool = False,
-                                tile_a: int = PROJ_TILE_A,
-                                tile_b: int = PROJ_TILE_B):
+                                tile_a: int = 512,
+                                tile_b: int = 1024):
     """Like ``fused_projection_match`` but evaluates TWO window radii —
-    ``radius_b`` and ``radius_b * r2_scale`` — from one distance pass.
-    Returns ``(MatchResult_r1, MatchResult_r2)``."""
+    ``radius_b`` and ``radius_b * r2_scale`` (must be >= 1 — the narrow window
+    is derived by masking the wide one) — from one distance pass.
+    Returns ``(MatchResult_r1, MatchResult_r2)``.
+
+    Default tiles are (512, 1024), smaller than the single-radius
+    (1024, 2048): the dual reduction keeps two packed matrices plus |du|/|dv|
+    live at once, and larger tiles overflow the 16 MB scoped-VMEM kernel
+    stack (measured 22.3 MB at (1024,2048), 19.0 MB at (1024,1024))."""
+    assert r2_scale >= 1.0, "narrow window must be contained in the wide one"
     from fishbirdeyevisualslam_tpu.ops.matcher import MatchResult
 
     na, nb = pm1_a.shape[0], pm1_b.shape[0]

@@ -397,10 +397,14 @@ def match_map_points(
     if cfg.tracking.use_fused_matcher and jax.default_backend() == "tpu":
         from fishbirdeyevisualslam_tpu.ops import pallas_matcher
         pred_eff = jnp.where(est, pred, -1)  # pred < 0 = no octave gate (kernel)
+        # tile_b=1024: the level-window variant's extra live gate temporaries
+        # overflow the 16 MB scoped-VMEM kernel stack at the (1024, 2048)
+        # default (measured 20.0 MB); (1024, 1024) is within 4% of peak
         res = pallas_matcher.fused_projection_match(
             f.desc_pm1, f.uv, f.octave, f.kp_valid,
             mp_pm1, uv_proj, r_pt, pred_eff, vis,
-            max_dist=max_dist, level_window=bool(cfg.tracking.use_level_window))
+            max_dist=max_dist, level_window=bool(cfg.tracking.use_level_window),
+            tile_b=1024)
     else:
         d_uv = jnp.abs(f.uv[:, None, :] - uv_proj[None, :, :])
         compat = (d_uv[..., 0] <= r_pt[None, :]) & (d_uv[..., 1] <= r_pt[None, :])
