@@ -10,6 +10,7 @@ mean ms), the number the reference's own oracle prints
 every compile; pass 2 is timed.
 """
 
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
