@@ -93,15 +93,8 @@ class SlamSystem:
         local BA + (optionally) loop closing on a snapshot."""
         m, new_slot, prev_slot, frame_id = self._mapping_jobs.pop(item)
         cfg = self.cfg
-        m = tr.local_mapping_triangulate(m, jnp.int32(new_slot), cfg,
-                                         cfg.tracking.mapping_neighbors)
-        m = tr.local_mapping_fuse(m, jnp.int32(new_slot), cfg,
+        m = tr.local_mapping_step(m, jnp.int32(new_slot), cfg,
                                   cfg.tracking.mapping_neighbors)
-        m = tr.cull_points(m, cfg)
-        m = tr.cull_bird_points(m, cfg, m.kf_Tcw[new_slot])
-        m = tr.update_point_stats(m, cfg)
-        m = tr.local_ba(m, cfg, jnp.int32(new_slot))
-        m = tr.cull_keyframes(m, cfg, jnp.int32(new_slot - 2))
         closed = False
         if self.enable_loop_closing:
             m, closed = self.loop_closer.process_keyframe(m, new_slot)
@@ -389,15 +382,10 @@ class SlamSystem:
                 self._mapping_jobs[job_id] = (m, new_slot, self.last_kf_slot, self.frame_id)
                 self._pipeline.submit(job_id)
             else:
-                m = tr.local_mapping_triangulate(m, jnp.int32(new_slot), cfg,
-                                                 cfg.tracking.mapping_neighbors)
-                m = tr.local_mapping_fuse(m, jnp.int32(new_slot), cfg,
+                # one fused device program for the whole mapping iteration
+                # (triangulate/fuse/cull/stats/BA/KF-cull): one dispatch, not 7
+                m = tr.local_mapping_step(m, jnp.int32(new_slot), cfg,
                                           cfg.tracking.mapping_neighbors)
-                m = tr.cull_points(m, cfg)
-                m = tr.cull_bird_points(m, cfg, m.kf_Tcw[new_slot])
-                m = tr.update_point_stats(m, cfg)
-                m = tr.local_ba(m, cfg, jnp.int32(new_slot))
-                m = tr.cull_keyframes(m, cfg, jnp.int32(new_slot - 2))
                 if self.enable_loop_closing:
                     m, closed = self.loop_closer.process_keyframe(m, new_slot)
                     if closed:

@@ -928,6 +928,25 @@ def local_mapping_fuse(m: ms.MapState, new_kf, cfg: SystemConfig,
     return m
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def local_mapping_step(m: ms.MapState, new_kf, cfg: SystemConfig,
+                       n_neighbors: int) -> ms.MapState:
+    """The whole LocalMapping iteration for one inserted keyframe as ONE device
+    program: triangulate vs top-N covisible neighbors, fuse both directions,
+    cull points (front + bird), refresh landmark stats, local BA, cull
+    redundant keyframes (``LocalMapping::Run`` body, ``LocalMapping.cc:51-130``).
+    Fusing the stages removes ~7 per-KF dispatches — on an attached host that
+    is sync/launch overhead; through the test tunnel it is ~7 HTTP RTTs."""
+    m = local_mapping_triangulate(m, new_kf, cfg, n_neighbors)
+    m = local_mapping_fuse(m, new_kf, cfg, n_neighbors)
+    m = cull_points(m, cfg)
+    m = cull_bird_points(m, cfg, m.kf_Tcw[new_kf])
+    m = update_point_stats(m, cfg)
+    m = local_ba(m, cfg, new_kf)
+    m = cull_keyframes(m, cfg, new_kf - 2)
+    return m
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def cull_keyframes(m: ms.MapState, cfg: SystemConfig, protect_from) -> ms.MapState:
     """``LocalMapping::KeyFrameCulling`` (``LocalMapping.cc:656-729``): a KF is
