@@ -15,14 +15,26 @@ import jax.numpy as jnp
 from fishbirdeyevisualslam_tpu.slam.map_state import MapState
 
 
+# Derived fields are NOT serialized: the expanded +/-1 descriptor operands are
+# bf16 (numpy can't round-trip it) and fully determined by the packed uint32
+# descriptors — they are rebuilt at load.
+_DERIVED = {"mp_desc_pm1": "mp_desc", "bp_desc_pm1": "bp_desc"}
+
+
 def save_map(m: MapState, path: str) -> None:
-    np.savez_compressed(path, **{k: np.asarray(v) for k, v in m._asdict().items()})
+    np.savez_compressed(path, **{k: np.asarray(v)
+                                 for k, v in m._asdict().items()
+                                 if k not in _DERIVED})
 
 
 def load_map(path: str) -> MapState:
+    from fishbirdeyevisualslam_tpu.slam.frame import desc_pm1_from_packed
+
     data = np.load(path)
     fields = {}
     for k in MapState._fields:
-        v = jnp.asarray(data[k])
-        fields[k] = v
+        if k in _DERIVED:
+            fields[k] = desc_pm1_from_packed(jnp.asarray(data[_DERIVED[k]]))
+        else:
+            fields[k] = jnp.asarray(data[k])
     return MapState(**fields)

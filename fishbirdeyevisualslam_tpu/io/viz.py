@@ -110,16 +110,17 @@ class FrameDrawer:
     def save(self, path: str) -> None:
         if self._front is None:
             return
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
+        # matplotlib.image.imsave needs no figure/backend — a save-time
+        # matplotlib.use("Agg") would be silently ignored if pyplot was already
+        # imported with another backend (round-2 advisor finding)
+        import matplotlib.image as mpimg
         hf, wf = self._front.shape[:2]
         hb, wb = self._bird.shape[:2]
         h = max(hf, hb)
         canvas = np.zeros((h, wf + wb, 3), np.uint8)
         canvas[:hf, :wf] = self._front
         canvas[:hb, wf:] = self._bird
-        plt.imsave(path, canvas)
+        mpimg.imsave(path, canvas)
 
 
 def plot_map(m, cfg, path: str, gt_se2=None, est_Twb=None) -> None:

@@ -250,7 +250,12 @@ def _proj_match_kernel(a_pm1_ref, a_aux_ref, b_pm1_ref, b_aux_ref, out_ref,
 def _proj_match_kernel_dual(a_pm1_ref, a_aux_ref, b_pm1_ref, b_aux_ref, out_ref,
                             *, level_window: bool, r2_scale: float):
     """Dual-radius variant of ``_proj_match_kernel``: ONE MXU distance pass,
-    TWO gated top-2 reductions — radius r (cols 0-2) and r*r2_scale (cols 3-5).
+    TWO gated top-1 reductions — radius r (cols 0,2) and r*r2_scale (cols 3,5).
+
+    No second-best is computed: the motion-model search this serves applies no
+    ratio test (``SearchByProjection(cur, last)``, ``ORBmatcher.cc:1329`` —
+    threshold-only), so the extra masked min-reduction per tile per radius
+    would be dead work in the hot kernel (round-2 advisor finding).
 
     Motivation: ``Tracking::TrackWithMotionModel`` retries with a doubled
     window when the first search finds <20 matches (``Tracking.cc:1358-1365``).
@@ -302,17 +307,12 @@ def _proj_match_kernel_dual(a_pm1_ref, a_aux_ref, b_pm1_ref, b_aux_ref, out_ref,
         p1 = jnp.min(p, axis=1)
         t1 = jnp.where(p1 >= BIG, BIG, jnp.floor(p1 / 8192.0))
         ti = p1 - jnp.floor(p1 / 8192.0) * 8192.0
-        p2 = jnp.min(jnp.where(col == ti[:, None], BIG, p), axis=1)
-        t2 = jnp.where(p2 >= BIG, BIG, jnp.floor(p2 / 8192.0))
         t_idx = ti + (j * tb).astype(jnp.float32)
 
         b1 = out_ref[:, c0 + 0]
-        b2 = out_ref[:, c0 + 1]
         bi = out_ref[:, c0 + 2]
         take_new = t1 < b1
-        loser = jnp.where(take_new, b1, t1)
         out_ref[:, c0 + 0] = jnp.minimum(b1, t1)
-        out_ref[:, c0 + 1] = jnp.minimum(jnp.minimum(b2, t2), loser)
         out_ref[:, c0 + 2] = jnp.where(take_new & (t1 < BIG), t_idx, bi)
 
 
@@ -351,8 +351,13 @@ def fused_projection_match(pm1_a, uv_a, oct_a, valid_a,
     pa = -(-na // tile_a) * tile_a
     pb = -(-nb // tile_b) * tile_b
     bf = jnp.bfloat16
-    a = jnp.zeros((pa, 256), bf).at[:na].set(pm1_a.astype(bf))
-    b = jnp.zeros((pb, 256), bf).at[:nb].set(pm1_b.astype(bf))
+    # already-aligned bf16 operands (the persistent MapState pm1 stores, the
+    # frame's own desc_pm1) pass through UNTOUCHED — a zeros+update-slice pad
+    # here costs a full 8 MB HBM copy per match call (round-2 staging gap)
+    a = pm1_a if (na == pa and pm1_a.dtype == bf) \
+        else jnp.zeros((pa, 256), bf).at[:na].set(pm1_a.astype(bf))
+    b = pm1_b if (nb == pb and pm1_b.dtype == bf) \
+        else jnp.zeros((pb, 256), bf).at[:nb].set(pm1_b.astype(bf))
     # aux blocks assembled by ONE concat + pad each (a chain of .at[].set
     # columns lowered to serial (N, 4) dynamic-update-slices costing ~0.13 ms
     # per tracking step in the device trace)
@@ -427,8 +432,10 @@ def fused_projection_match_dual(pm1_a, uv_a, oct_a, valid_a,
     pa = -(-na // tile_a) * tile_a
     pb = -(-nb // tile_b) * tile_b
     bf = jnp.bfloat16
-    a = jnp.zeros((pa, 256), bf).at[:na].set(pm1_a.astype(bf))
-    b = jnp.zeros((pb, 256), bf).at[:nb].set(pm1_b.astype(bf))
+    a = pm1_a if (na == pa and pm1_a.dtype == bf) \
+        else jnp.zeros((pa, 256), bf).at[:na].set(pm1_a.astype(bf))
+    b = pm1_b if (nb == pb and pm1_b.dtype == bf) \
+        else jnp.zeros((pb, 256), bf).at[:nb].set(pm1_b.astype(bf))
     a_aux = jnp.concatenate([
         uv_a.astype(jnp.float32),
         oct_a.astype(jnp.float32)[:, None],

@@ -32,6 +32,11 @@ class MapState(NamedTuple):
     kf_odom: jnp.ndarray       # (K, 3) raw wheel odometry (x, y, theta)
     kf_timestamp: jnp.ndarray  # (K,)
     kf_frame_id: jnp.ndarray   # (K,) int32 source frame id
+    kf_seq: jnp.ndarray        # (K,) int32 insertion sequence number (-1 free).
+                               # Slots RECYCLE (culled capacity returns), so slot
+                               # order is NOT temporal order; every consumer that
+                               # needs "earlier"/"consecutive" (odometry chains,
+                               # spanning tree, culling recency) orders by seq.
     # per-KF front keypoints (undistorted uv, octave, packed descriptors)
     kf_uv: jnp.ndarray         # (K, F, 2)
     kf_octave: jnp.ndarray     # (K, F) int32
@@ -48,6 +53,12 @@ class MapState(NamedTuple):
     # --- front map points ----------------------------------------------------
     mp_pos: jnp.ndarray        # (P, 3)
     mp_desc: jnp.ndarray       # (P, 8) uint32 distinctive descriptor
+    mp_desc_pm1: jnp.ndarray   # (P, 256) bf16 — the SAME descriptors expanded
+                               # to the +/-1 MXU operand, maintained at write
+                               # time so the per-frame matchers hand the Pallas
+                               # kernel an already-materialized HBM operand
+                               # (re-expanding + padding 8 MB per match call
+                               # was the round-2 staging overhead)
     mp_valid: jnp.ndarray      # (P,) bool
     mp_normal: jnp.ndarray     # (P, 3) mean viewing direction
     mp_min_dist: jnp.ndarray   # (P,) scale-invariance range
@@ -62,13 +73,18 @@ class MapState(NamedTuple):
     # --- bird map points -----------------------------------------------------
     bp_pos: jnp.ndarray        # (PB, 3)
     bp_desc: jnp.ndarray       # (PB, 8)
+    bp_desc_pm1: jnp.ndarray   # (PB, 256) bf16 expanded matmul operand
     bp_valid: jnp.ndarray      # (PB,) bool
     bp_ref_kf: jnp.ndarray     # (PB,) int32
+    bp_birth: jnp.ndarray      # (PB,) int32 kf_seq of the creating KF (age culling)
     bobs_kf: jnp.ndarray       # (PB, MB) int32
     bobs_feat: jnp.ndarray     # (PB, MB) int32
     bobs_valid: jnp.ndarray    # (PB, MB) bool
     # --- counters ------------------------------------------------------------
-    n_kf: jnp.ndarray          # () int32 next free KF slot (monotone)
+    n_kf: jnp.ndarray          # () int32 slot high-water mark (NOT a KF count:
+                               # slots below it may be free after culling)
+    kf_counter: jnp.ndarray    # () int32 total KF insertions ever (monotone);
+                               # the newest KF has kf_seq == kf_counter - 1
     n_mp: jnp.ndarray          # () int32 count of live front points (diagnostic)
     n_bp: jnp.ndarray          # () int32 count of live bird points (diagnostic)
 
@@ -89,6 +105,7 @@ def empty_map(cfg: SystemConfig) -> MapState:
         kf_odom=jnp.zeros((K, 3), f32),
         kf_timestamp=jnp.zeros(K, f32),
         kf_frame_id=jnp.full(K, -1, i32),
+        kf_seq=jnp.full(K, -1, i32),
         kf_uv=jnp.zeros((K, F, 2), f32),
         kf_octave=jnp.zeros((K, F), i32),
         kf_desc=jnp.zeros((K, F, 8), jnp.uint32),
@@ -102,6 +119,7 @@ def empty_map(cfg: SystemConfig) -> MapState:
         kf_bird_mp=jnp.full((K, FB), -1, i32),
         mp_pos=jnp.zeros((P, 3), f32),
         mp_desc=jnp.zeros((P, 8), jnp.uint32),
+        mp_desc_pm1=jnp.full((P, 256), -1.0, jnp.bfloat16),
         mp_valid=jnp.zeros(P, bool),
         mp_normal=jnp.zeros((P, 3), f32),
         mp_min_dist=jnp.zeros(P, f32),
@@ -115,12 +133,15 @@ def empty_map(cfg: SystemConfig) -> MapState:
         obs_valid=jnp.zeros((P, M), bool),
         bp_pos=jnp.zeros((PB, 3), f32),
         bp_desc=jnp.zeros((PB, 8), jnp.uint32),
+        bp_desc_pm1=jnp.full((PB, 256), -1.0, jnp.bfloat16),
         bp_valid=jnp.zeros(PB, bool),
         bp_ref_kf=jnp.zeros(PB, i32),
+        bp_birth=jnp.zeros(PB, i32),
         bobs_kf=jnp.zeros((PB, MB), i32),
         bobs_feat=jnp.zeros((PB, MB), i32),
         bobs_valid=jnp.zeros((PB, MB), bool),
         n_kf=jnp.int32(0),
+        kf_counter=jnp.int32(0),
         n_mp=jnp.int32(0),
         n_bp=jnp.int32(0),
     )
@@ -164,6 +185,49 @@ def bird_covisibility_counts(m: MapState) -> jnp.ndarray:
 
 def point_obs_count(m: MapState) -> jnp.ndarray:
     return jnp.sum((m.obs_valid & m.mp_valid[:, None]).astype(jnp.int32), axis=1)
+
+
+def temporal_perm(m: MapState) -> jnp.ndarray:
+    """(K,) permutation of KF slots sorted by insertion order, valid KFs first.
+
+    With slot recycling, slot index carries NO temporal meaning; consumers that
+    need the keyframe TIMELINE (odometry chain/skip edges in local/global BA,
+    spanning-tree "earlier", culling recency) go through this: ``perm[r]`` is
+    the slot of the r-th oldest LIVE keyframe.  Invalid slots sort to the end.
+    """
+    key = jnp.where(m.kf_valid, m.kf_seq, jnp.iinfo(jnp.int32).max)
+    return jnp.argsort(key).astype(jnp.int32)
+
+
+def reassign_orphan_refs(m: MapState) -> MapState:
+    """Re-home ``mp_ref_kf``/``bp_ref_kf`` entries whose reference KF died.
+
+    The reference updates ``MapPoint::mpRefKF`` when a KeyFrame is erased
+    (``KeyFrame::SetBadFlag``); with slot recycling a stale ref would silently
+    bind the landmark to whatever UNRELATED keyframe reuses the slot — the
+    scale-range and loop-correction transport would then be garbage.  New ref =
+    the oldest valid observing KF (falls back to the oldest live KF for
+    observation-less points, which the cullers retire anyway).
+    """
+    K = m.K
+    big = jnp.iinfo(jnp.int32).max
+    seq_of = jnp.where(m.kf_valid, m.kf_seq, big)
+    # oldest valid observer per front point
+    obs_seq = jnp.where(m.obs_valid & m.kf_valid[m.obs_kf], seq_of[m.obs_kf], big)
+    best = jnp.argmin(obs_seq, axis=1)
+    cand = m.obs_kf[jnp.arange(m.obs_kf.shape[0]), best]
+    has = jnp.min(obs_seq, axis=1) < big
+    oldest_live = jnp.argmin(seq_of).astype(jnp.int32)
+    mp_ref = jnp.where(m.kf_valid[jnp.clip(m.mp_ref_kf, 0, K - 1)], m.mp_ref_kf,
+                       jnp.where(has, cand, oldest_live))
+    bobs_seq = jnp.where(m.bobs_valid & m.kf_valid[m.bobs_kf], seq_of[m.bobs_kf], big)
+    bbest = jnp.argmin(bobs_seq, axis=1)
+    bcand = m.bobs_kf[jnp.arange(m.bobs_kf.shape[0]), bbest]
+    bhas = jnp.min(bobs_seq, axis=1) < big
+    bp_ref = jnp.where(m.kf_valid[jnp.clip(m.bp_ref_kf, 0, K - 1)], m.bp_ref_kf,
+                       jnp.where(bhas, bcand, oldest_live))
+    return m._replace(mp_ref_kf=mp_ref.astype(jnp.int32),
+                      bp_ref_kf=bp_ref.astype(jnp.int32))
 
 
 def alloc_slots(valid_mask, want):

@@ -40,6 +40,10 @@ class TrajectoryEntry:
     ref_kf: int               # KF slot (-1: absolute, pre-map)
     is_keyframe: bool
     state: int
+    ref_frame_id: int = -1    # source frame id of the reference KF — the slot
+                              # alone is ambiguous once slots recycle; export
+                              # verifies identity and falls back to the pose the
+                              # KF had when it was culled
 
 
 class SlamSystem:
@@ -64,6 +68,8 @@ class SlamSystem:
         self._reloc_frame_id = -10000  # last reloc/re-init frame (gate relaxation)
         self.trajectory: List[TrajectoryEntry] = []
         self._odom_history = {}  # frame trajectory index -> odom (pre-init backfill)
+        self._kf_alive = {}       # frame_id -> last seen pose of live KFs
+        self._dead_kf_poses = {}  # frame_id -> pose at cull time (recycled slots)
         self.frame_times: List[float] = []  # per-frame wall time (CalExTime analog)
         self.tracer = Tracer()              # per-stage spans (SURVEY.md §5 tracing)
         self.loop_closer = lc.LoopCloser(cfg)
@@ -73,6 +79,7 @@ class SlamSystem:
         # world gauge onto the dead-reckoned continuation of this pose so the
         # exported trajectory stays in ONE world frame across resets
         self._reset_anchor = None
+        self._velocity = se3.identity()  # mVelocity (constant-velocity model)
         self._key = jax.random.PRNGKey(7)
         # --- async mapping (the reference's LocalMapping thread, System.cc:97-98)
         # Mapping work runs in a native pipeline stage on a map SNAPSHOT while
@@ -82,6 +89,7 @@ class SlamSystem:
         self.async_mapping = async_mapping
         self._pending_result = None     # finished mapping output awaiting merge
         self._mapping_busy = False
+        self._kf_journal = []  # KFs inserted while a loop correction ran
         self._pipeline = None
         if async_mapping:
             from fishbirdeyevisualslam_tpu.runtime.native import AsyncPipeline
@@ -90,13 +98,22 @@ class SlamSystem:
 
     def _mapping_stage(self, stage: int, item: int):
         """Runs in the pipeline worker thread: triangulate + fuse + cull +
-        local BA + (optionally) loop closing on a snapshot."""
+        local BA + (optionally) loop closing on a snapshot.
+
+        The InterruptBA abort flag is honored at the pre/BA boundary — map
+        maintenance always lands, but a pending keyframe can skip the local BA
+        + KF-cull tail (the reference's ``mbAbortBA`` check before BA,
+        ``LocalMapping.cc:85-97``)."""
         m, new_slot, prev_slot, frame_id = self._mapping_jobs.pop(item)
         cfg = self.cfg
-        m = tr.local_mapping_step(m, jnp.int32(new_slot), cfg,
-                                  cfg.tracking.mapping_neighbors)
+        m = tr.local_mapping_pre(m, jnp.int32(new_slot), cfg,
+                                 cfg.tracking.mapping_neighbors)
+        jax.block_until_ready(m.kf_Tcw)
+        aborted = self._pipeline is not None and self._pipeline.abort_requested(0)
+        if not aborted:
+            m = tr.local_mapping_ba(m, jnp.int32(new_slot), cfg)
         closed = False
-        if self.enable_loop_closing:
+        if self.enable_loop_closing and not aborted:
             m, closed = self.loop_closer.process_keyframe(m, new_slot)
         jax.block_until_ready(m.kf_Tcw)
         self._pending_result = (m, new_slot, closed)
@@ -119,8 +136,101 @@ class SlamSystem:
             T_rel = jnp.asarray(Tcw)
         self._odom_history[len(self.trajectory)] = np.asarray(f.odom)
         self.trajectory.append(
-            TrajectoryEntry(float(f.timestamp), np.asarray(T_rel), ref, is_kf, self.state)
+            TrajectoryEntry(float(f.timestamp), np.asarray(T_rel), ref, is_kf,
+                            self.state, self.last_kf_frame_id)
         )
+
+    def _refresh_kf_snapshot(self):
+        """Track live keyframes by FRAME ID and remember the final pose of any
+        keyframe that KeyFrameCulling retired, so trajectory entries anchored to
+        it stay meaningful after its slot is recycled (the reference chains
+        culled KFs to their spanning-tree parent at export, ``System.cc:384-470``;
+        freezing at the cull-time estimate is the functional-state analog)."""
+        if self.map is None:
+            return
+        m = self.map
+        valid = np.asarray(m.kf_valid)
+        fids = np.asarray(m.kf_frame_id)
+        poses = np.asarray(m.kf_Tcw)
+        new = {int(fids[k]): poses[k] for k in np.nonzero(valid)[0]}
+        for fid, pose in self._kf_alive.items():
+            if fid not in new:
+                self._dead_kf_poses[fid] = pose
+        self._kf_alive = new
+
+    def _entry_Tcw(self, e: TrajectoryEntry, fid_to_slot, kf_Tcw) -> np.ndarray:
+        """Absolute Tcw of a trajectory entry under the CURRENT map (loop/BA
+        corrections propagate through the reference KF), falling back to the
+        cull-time pose if the reference KF no longer exists."""
+        if e.ref_kf >= 0:
+            slot = fid_to_slot.get(e.ref_frame_id)
+            if slot is not None and kf_Tcw is not None:
+                return np.asarray(se3.compose(jnp.asarray(e.T_rel),
+                                              jnp.asarray(kf_Tcw[slot])))
+            dead = self._dead_kf_poses.get(e.ref_frame_id)
+            if dead is not None:
+                return np.asarray(se3.compose(jnp.asarray(e.T_rel),
+                                              jnp.asarray(dead)))
+        return np.asarray(e.T_rel)
+
+    def _fid_to_slot(self):
+        if self.map is None:
+            return {}
+        valid = np.asarray(self.map.kf_valid)
+        fids = np.asarray(self.map.kf_frame_id)
+        return {int(fids[k]): int(k) for k in np.nonzero(valid)[0]}
+
+    def _consume_pending(self):
+        """Merge a finished async mapping/loop-correction result and REPLAY any
+        keyframes tracking inserted meanwhile (the reference's spanning-tree
+        propagation of concurrently created KFs after a background GBA,
+        ``LoopClosing.cc:674-841``).  Each journaled KF re-enters the corrected
+        map at ``T_rel_to_ref * Tcw_ref_corrected`` — its relative pose to its
+        reference KF at insertion time, composed onto that reference's
+        corrected pose."""
+        if self._pending_result is None:
+            return
+        m, kf_slot, closed = self._pending_result
+        self._pending_result = None
+        self.map = m
+        if closed:
+            self.n_loops_closed += 1
+        if self._kf_journal:
+            cfg = self.cfg
+            last_slot = None
+            for e in self._kf_journal:
+                fid_to_slot = self._fid_to_slot()
+                ref_slot = fid_to_slot.get(e["ref_fid"])
+                T_rel = se3.compose(jnp.asarray(e["Tcw"]),
+                                    se3.inverse(jnp.asarray(e["T_ref_live"])))
+                if ref_slot is not None:
+                    Tcw_corr = se3.compose(T_rel, self.map.kf_Tcw[ref_slot])
+                elif e["ref_fid"] in self._dead_kf_poses:
+                    Tcw_corr = se3.compose(
+                        T_rel, jnp.asarray(self._dead_kf_poses[e["ref_fid"]]))
+                else:
+                    Tcw_corr = jnp.asarray(e["Tcw"])
+                slot_j, slot_ok, _ = tr.free_kf_slot(self.map)
+                if not bool(slot_ok):
+                    break
+                self.map = tr.insert_keyframe(
+                    self.map, e["f"], e["assoc"], Tcw_corr, cfg,
+                    jnp.int32(e["frame_id"]), slot=slot_j)
+                last_slot = int(slot_j)
+                last_fid = e["frame_id"]
+            if last_slot is not None:
+                self.last_kf_slot = last_slot
+                self.last_kf_frame_id = last_fid
+                self.last_assoc = tr.TrackObs(self.map.kf_mp[last_slot],
+                                              self.map.kf_bird_mp[last_slot])
+            self._kf_journal = []
+        self._refresh_kf_snapshot()
+        if self.last_assoc is not None:
+            # bird ids held by tracking may reference frame-born points the
+            # snapshot never saw — drop them; the next frame re-matches
+            self.last_assoc = tr.TrackObs(
+                self.last_assoc.mp_idx,
+                jnp.full_like(self.last_assoc.bp_idx, -1))
 
     # ------------------------------------------------------------------ API
     def track(self, front_gray, bird_gray, bird_mask, odom, timestamp,
@@ -153,12 +263,7 @@ class SlamSystem:
                 cap.max_bird_kp,
             )
         # merge a finished async mapping result at the frame boundary
-        if self._pending_result is not None:
-            m, kf_slot, closed = self._pending_result
-            self._pending_result = None
-            self.map = m
-            if closed:
-                self.n_loops_closed += 1
+        self._consume_pending()
         if self.state == tr.NOT_INITIALIZED:
             with self.tracer.span("initialize"):
                 Tcw = self._initialize(f)
@@ -168,6 +273,10 @@ class SlamSystem:
         else:
             with self.tracer.span("track_lost"):
                 Tcw = self._track_lost(f)
+        if self.last_frame is not None:
+            # mVelocity = Tcw_cur * Twc_last (Tracking.cc:683-694)
+            self._velocity = se3.compose(
+                jnp.asarray(Tcw), se3.inverse(jnp.asarray(self.last_Tcw)))
         self.last_frame = f
         self.last_Tcw = Tcw
         self.frame_times.append(_time.perf_counter() - _t0)
@@ -261,18 +370,25 @@ class SlamSystem:
                     cfg.extrinsics, m.kf_Tcw[0], ref_odom, jnp.asarray(frame_odom))
                 e.T_rel = np.asarray(se3.compose(Tcw_i, se3.inverse(m.kf_Tcw[0])))
                 e.ref_kf = 0
+                e.ref_frame_id = self.ref_frame_id
         self.ref_kf_tracked = int(jnp.sum((m.kf_mp[1] >= 0)))
         Tcw = m.kf_Tcw[1]
         self._record(f, Tcw, True)
         return Tcw
 
+    def _motion_prior(self, f: Frame):
+        """Pose prediction for the new frame: odometry delta when
+        ``loose_couple`` (``Tracking.cc:1316-1320``), otherwise the reference's
+        constant-velocity model ``mVelocity * lastTcw`` (``Tracking.cc:1330``)."""
+        if self.cfg.flags.loose_couple:
+            return odo.motion_prior_Tcw(
+                self.cfg.extrinsics, self.last_Tcw, self.last_frame.odom, f.odom)
+        return se3.compose(self._velocity, jnp.asarray(self.last_Tcw))
+
     def _track_ok(self, f: Frame):
         cfg = self.cfg
         m = self.map
-        # odometry motion prior (loose couple, Tracking.cc:1316-1320)
-        Tcw_pred = odo.motion_prior_Tcw(
-            cfg.extrinsics, self.last_Tcw, self.last_frame.odom, f.odom
-        )
+        Tcw_pred = self._motion_prior(f)
         # --- the fused frame step: motion-model match (15/30 px widening on
         # device) + bird match + pose opt + TrackLocalMap + second pose opt +
         # found/visible counters, ONE device program, ONE scalar fetch
@@ -284,8 +400,19 @@ class SlamSystem:
         kf_pts = m.kf_mp[self.last_kf_slot]
         cand_last = cand_last.at[jnp.clip(kf_pts, 0, P - 1)].set(
             cand_last[jnp.clip(kf_pts, 0, P - 1)] | (kf_pts >= 0))
-        core = tr.track_frame_core(m, f, cfg, Tcw_pred, cand_last)
-        n_mm, n_in = (int(x) for x in np.asarray(core.scalars))
+        # per-frame bird maintenance is disabled while an async mapping job is
+        # in flight: points created into the live copy would be lost (and their
+        # slots aliased) when the worker's snapshot merges back
+        maint_ok = not (self._mapping_busy or self._pending_result is not None)
+        core = tr.track_frame_core(
+            m, f, cfg, Tcw_pred, cand_last,
+            jnp.int32(max(self.last_kf_slot, 0)),
+            last_f=tr.bird_only_view(self.last_frame),
+            last_bp_idx=self.last_assoc.bp_idx,
+            last_Tcw=jnp.asarray(self.last_Tcw),
+            bird_maint_enabled=jnp.asarray(maint_ok))
+        (n_mm, n_in, nref3, nref2, n_bird_cur, n_ref_bird,
+         n_kfs) = (int(x) for x in np.asarray(core.scalars))
         Tcw = core.Tcw
         assoc = tr.TrackObs(core.mp_idx, core.bp_idx)
         if n_mm < 10:
@@ -316,8 +443,7 @@ class SlamSystem:
                 assoc = tr.TrackObs(
                     jnp.where(out2.front_inlier, mp_idx, -1),
                     jnp.where(out2.bird_inlier, bres2.idx, -1))
-        self.map = m = m._replace(mp_visible=core.mp_visible,
-                                  mp_found=core.mp_found)
+        self.map = m = core.map
 
         # TrackLocalMap success gate (the reference demands >= 30 inliers,
         # ``Tracking.cc:1429-1441``; relaxed for 2*fps frames after a
@@ -334,14 +460,9 @@ class SlamSystem:
                 # frame (Tracking.cc:489) so it never races LocalMapping's
                 # writeback like this.
                 self._pipeline.flush()
-                if self._pending_result is not None:
-                    m_new, _, closed = self._pending_result
-                    self._pending_result = None
-                    self.map = m_new
-                    if closed:
-                        self.n_loops_closed += 1
+                self._consume_pending()
                 return self._track_ok(f)
-            if int(self.map.n_kf) <= 5 and not self.localization_only:
+            if int(self.map.kf_counter) <= 5 and not self.localization_only:
                 # lost with a barely-born map: full reset, like the reference's
                 # Track() (Tracking.cc:731-740) — re-initialization has nothing
                 # worth preserving yet
@@ -355,23 +476,67 @@ class SlamSystem:
             return Tcw
 
         self.last_assoc = assoc
-        # --- keyframe policy (NeedNewKeyFrame, Tracking.cc:1444-1540)
-        frames_since = self.frame_id - self.last_kf_frame_id
-        need = (
-            not self.localization_only
-            and frames_since >= max(1, cfg.tracking.min_frames_between_kf)
-            and (
-                frames_since >= cfg.tracking.max_frames_between_kf
-                or n_in < 0.9 * max(self.ref_kf_tracked, 1)
-            )
-            and n_in >= 15
-        )
+        # --- keyframe policy (NeedNewKeyFrame, Tracking.cc:1444-1540): full
+        # c1a/c1b/c2 decision on the reference's terms — nRefMatches counts the
+        # reference KF's points with >= minObs observations (minObs 3, or 2 for
+        # a 2-KF map), mapping idleness feeds c1b, and a needed-but-busy
+        # insertion requests InterruptBA instead of inserting (mono semantics)
+        n_ref_matches = nref3 if n_kfs > 2 else nref2
+        mapping_idle = not self._mapping_busy
+        need, interrupt = tr.need_new_keyframe(
+            cfg, localization_only=self.localization_only, n_kfs=n_kfs,
+            frame_id=self.frame_id, last_kf_frame_id=self.last_kf_frame_id,
+            last_reloc_frame_id=self._reloc_frame_id, n_inliers=n_in,
+            n_ref_matches=n_ref_matches, mapping_idle=mapping_idle,
+            n_bird_matched=n_bird_cur, n_ref_bird=n_ref_bird)
         is_kf = False
-        if need and int(self.map.n_kf) < cfg.capacity.max_keyframes - 1 \
-                and not self._mapping_busy:
+        if interrupt and self._pipeline is not None:
+            if self.loop_closer.correcting:
+                # a background loop correction is in flight — it cannot be
+                # aborted, and refusing keyframes for its whole duration would
+                # stall the map.  Insert into the LIVE map and JOURNAL the
+                # keyframe; _consume_pending replays it through the correction
+                # at merge (the reference's concurrent-insertion handling in
+                # RunGlobalBundleAdjustment, ``LoopClosing.cc:674-841``).
+                slot_j, slot_ok, _ = tr.free_kf_slot(m)
+                if bool(slot_ok) and self.last_kf_slot >= 0:
+                    ref_slot = self.last_kf_slot
+                    T_ref_live = np.asarray(m.kf_Tcw[ref_slot])
+                    m2 = tr.insert_keyframe(m, f, assoc, Tcw, cfg,
+                                            jnp.int32(self.frame_id), slot=slot_j)
+                    self.map = m2
+                    self._kf_journal.append(dict(
+                        f=f, assoc=assoc, Tcw=np.asarray(Tcw),
+                        frame_id=self.frame_id,
+                        ref_fid=self.last_kf_frame_id, T_ref_live=T_ref_live))
+                    self.last_kf_slot = int(slot_j)
+                    self.last_kf_frame_id = self.frame_id
+                    self.ref_kf_tracked = n_in
+                    self.last_assoc = tr.TrackObs(m2.kf_mp[int(slot_j)],
+                                                  m2.kf_bird_mp[int(slot_j)])
+                    self._record(f, Tcw, True)
+                    return Tcw
+            else:
+                # abort the in-flight local BA so the worker frees the pipeline
+                # for the pending keyframe (LocalMapping::InterruptBA analog)
+                self._pipeline.signal_abort(0)
+        if need and not self._mapping_busy:
             m = self.map
-            new_slot = int(m.n_kf)
-            m = tr.insert_keyframe(m, f, assoc, Tcw, cfg, jnp.int32(self.frame_id))
+            slot_j, slot_ok, _ = tr.free_kf_slot(m)
+            if not bool(slot_ok):
+                # every slot live and redundancy culling found nothing: evict
+                # the least-connected eligible KF (sliding-window pressure
+                # valve) so insertion NEVER dies at capacity
+                m = tr.force_evict_keyframe(m, cfg)
+                self.map = m
+                self._refresh_kf_snapshot()
+                slot_j, slot_ok, _ = tr.free_kf_slot(m)
+            if not bool(slot_ok):
+                need = False  # nothing evictable (tiny map of protected KFs)
+        if need and not self._mapping_busy:
+            new_slot = int(slot_j)
+            m = tr.insert_keyframe(m, f, assoc, Tcw, cfg, jnp.int32(self.frame_id),
+                                   slot=slot_j)
             if self.async_mapping:
                 # hand the snapshot to the mapping stage; tracking continues on
                 # the inserted-but-unrefined map (the reference's behavior while
@@ -392,6 +557,7 @@ class SlamSystem:
                         self.n_loops_closed += 1
                 self.map = m
                 Tcw = m.kf_Tcw[new_slot]
+                self._refresh_kf_snapshot()  # mapping may have culled a KF
             self.last_kf_slot = new_slot
             self.last_kf_frame_id = self.frame_id
             self.ref_kf_tracked = n_in
@@ -413,24 +579,25 @@ class SlamSystem:
             # RequestStop/isStopped handshake, LocalMapping.cc:579-654)
             if self._mapping_busy:
                 self._pipeline.flush()
-            if self._pending_result is not None:
-                m_new, _, closed = self._pending_result
-                self._pending_result = None
-                self.map = m_new
-                if closed:
-                    self.n_loops_closed += 1
+            self._consume_pending()
         m = self.map
-        Tcw_pred = odo.motion_prior_Tcw(
-            cfg.extrinsics, self.last_Tcw, self.last_frame.odom, f.odom
-        )
+        Tcw_pred = self._motion_prior(f)
         self.n_lost_frames += 1
         # TrackUsingBird (Tracking.cc:2014-2061): bird-only pose refinement
         # against the bird local map.  Like the reference, the state stays LOST
         # (Track() never sets bOK from it) — the bird pose only carries the
         # frame estimate while re-init converges.
-        bres = tr.match_bird_points(m, f, cfg, Tcw_pred, tr.bird_local_mask(m, cfg, Tcw_pred))
         Tcw = Tcw_pred
-        n_bird_avail = int(jnp.sum(tr.bird_local_mask(m, cfg, Tcw_pred)))
+        if cfg.flags.have_bird:
+            bres = tr.match_bird_points(
+                m, f, cfg, Tcw_pred, tr.bird_local_mask(m, cfg, Tcw_pred))
+            n_bird_avail = int(jnp.sum(tr.bird_local_mask(m, cfg, Tcw_pred)))
+        else:
+            bres = tr.matcher.MatchResult(
+                jnp.full_like(self.last_assoc.bp_idx, -1),
+                jnp.full_like(self.last_assoc.bp_idx, tr.matcher.BIG, jnp.float32),
+                jnp.zeros_like(self.last_assoc.bp_idx, bool))
+            n_bird_avail = 0
         n_bird_matched = 0
         if int(bres.count) >= 10:
             bird_assoc = tr.TrackObs(jnp.full_like(self.last_assoc.mp_idx, -1), bres.idx)
@@ -446,17 +613,19 @@ class SlamSystem:
         # can ever run (Tracking.cc:731-740), so bird KFs only extend mature
         # maps — without the gate a dead-reckoned KF lands in a barely-born map
         # and poisons re-initialization.
+        slot_j, slot_ok, n_free = tr.free_kf_slot(m)
         if (not self.localization_only
-                and int(m.n_kf) > 5
-                and int(m.n_kf) < cfg.capacity.max_keyframes - 2
+                and int(jnp.sum(m.kf_valid)) > 5
+                and int(n_free) > 2
                 and self.frame_id - self.last_kf_frame_id > 2
                 and (n_bird_matched < 0.7 * n_bird_avail
                      or (n_bird_matched < 10 and n_bird_avail > 10))
                 and int(jnp.sum(f.bird_kp_valid)) >= 20):
             assoc = tr.TrackObs(jnp.full_like(self.last_assoc.mp_idx, -1),
                                 jnp.where(bres.idx >= 0, bres.idx, -1))
-            slot = int(m.n_kf)
-            m = tr.insert_keyframe(m, f, assoc, Tcw, cfg, jnp.int32(self.frame_id))
+            slot = int(slot_j)
+            m = tr.insert_keyframe(m, f, assoc, Tcw, cfg, jnp.int32(self.frame_id),
+                                   slot=slot_j)
             self.map = m
             self.last_kf_slot = slot
             self.last_kf_frame_id = self.frame_id
@@ -464,17 +633,19 @@ class SlamSystem:
         # relocalization: BoW candidates + PnP, round-robining the TOP
         # candidates like the reference's per-candidate P4P RANSAC loop
         # (``Tracking.cc:2231-2392``; round 1 tried only the single best)
-        if int(m.n_kf) >= 2:
+        if int(jnp.sum(m.kf_valid)) >= 2:
             words = bow_ops.word_ids(f.desc_pm1)
-            scores = np.asarray(lc.relocalize_candidates(m, words, cfg, f.kp_valid))
-            scores = np.where(np.asarray(m.kf_valid), scores, -1.0)
-            order = np.argsort(-scores)[:5]
-            for cand in order:
+            # covisibility-group accumulated retrieval: candidates are the best
+            # members of the top-scoring groups, 75% retain rule applied on
+            # device (``KeyFrameDatabase.cc:199-310``)
+            members, accs = lc.relocalize_group_candidates(m, words, cfg, f.kp_valid)
+            members, accs = np.asarray(members), np.asarray(accs)
+            tried = set()
+            for cand, acc in zip(members, accs):
                 cand = int(cand)
-                # retain candidates within 75% of the best score
-                # (``DetectRelocalizationCandidates``' minScoreToRetain rule)
-                if scores[cand] < max(0.05, 0.75 * scores[order[0]]):
-                    break
+                if acc <= 0.05 or cand in tried:
+                    continue
+                tried.add(cand)
                 Tcw_r, mp_idx, n_in, ok = lc.relocalize_against(
                     m, f.desc_pm1, words, cfg, f.uv, f.kp_valid,
                     jnp.int32(cand), self._next_key())
@@ -493,7 +664,7 @@ class SlamSystem:
 
         # attempt odometry-seeded re-initialization against the previous frame
         res = tr.match_for_init(self.last_frame, f, cfg)
-        if int(res.count) >= cfg.tracking.min_init_matches and int(m.n_kf) < cfg.capacity.max_keyframes - 2:
+        if int(res.count) >= cfg.tracking.min_init_matches and int(n_free) > 2:
             T21_odom = self._odom_T21(self.last_frame, f)
             P = cfg.capacity.max_front_kp
             uv2 = jnp.where(res.ok[:, None], f.uv[jnp.clip(res.idx, 0, P - 1)], 0.0)
@@ -501,11 +672,10 @@ class SlamSystem:
                 cfg.camera, self.last_frame.uv, uv2, res.ok, T21_odom, self._next_key(),
             )
             if bool(out.success):
-                m = self._append_reinit_pair(m, self.last_frame, f, out, res)
+                m, slot = self._append_reinit_pair(m, self.last_frame, f, out, res)
                 self.map = m
                 self.state = tr.OK
                 self._reloc_frame_id = self.frame_id
-                slot = int(m.n_kf) - 1
                 Tcw = m.kf_Tcw[slot]
                 self.last_kf_slot = slot
                 self.last_kf_frame_id = self.frame_id
@@ -526,9 +696,9 @@ class SlamSystem:
         cfg = self.cfg
         Tcw1 = self.last_Tcw  # pose of f1 = dead-reckoned last pose
         Tcw2 = se3.compose(init_out.T21, Tcw1)
-        slot1 = m.n_kf
+        slot1, ok1, _ = tr.free_kf_slot(m)
         m = tr._write_kf(m, slot1, f1, Tcw1, True, jnp.int32(self.frame_id - 1))
-        slot2 = m.n_kf
+        slot2, ok2, _ = tr.free_kf_slot(m)
         m = tr._write_kf(m, slot2, f2, Tcw2, False, jnp.int32(self.frame_id))
         # triangulated points are in f1's camera frame -> world
         Twc1 = se3.inverse(Tcw1)
@@ -537,14 +707,15 @@ class SlamSystem:
         P = m.mp_pos.shape[0]
         ok = match_res.ok & init_out.triangulated
         dest, can = ms.alloc_slots(m.mp_valid, ok)
-        m = ms.reset_point_slots(m, dest, can, slot1)
+        m = ms.reset_point_slots(m, dest, can, m.kf_seq[slot1])
         feat2 = jnp.clip(match_res.idx, 0, F - 1)
         m = m._replace(
             mp_pos=m.mp_pos.at[dest].set(jnp.where(can[:, None], Xw, m.mp_pos[dest])),
             mp_desc=m.mp_desc.at[dest].set(jnp.where(can[:, None], f2.desc[feat2], m.mp_desc[dest])),
+            mp_desc_pm1=m.mp_desc_pm1.at[dest].set(jnp.where(
+                can[:, None], f2.desc_pm1[feat2].astype(jnp.bfloat16), m.mp_desc_pm1[dest])),
             mp_valid=m.mp_valid.at[dest].set(jnp.where(can, True, m.mp_valid[dest])),
             mp_ref_kf=m.mp_ref_kf.at[dest].set(jnp.where(can, slot2, m.mp_ref_kf[dest])),
-            mp_first_kf=m.mp_first_kf.at[dest].set(jnp.where(can, slot1, m.mp_first_kf[dest])),
             n_mp=m.n_mp + jnp.sum(can.astype(jnp.int32)),
             kf_mp=m.kf_mp.at[slot1].set(jnp.where(can, dest, -1))
                          .at[slot2].set(jnp.full((F,), -1, jnp.int32).at[jnp.where(can, feat2, F - 1)].set(
@@ -553,7 +724,7 @@ class SlamSystem:
         feats1 = jnp.arange(F, dtype=jnp.int32)
         m = ms.add_observation(m, dest, jnp.full(F, slot1, jnp.int32), feats1, can)
         m = ms.add_observation(m, dest, jnp.full(F, slot2, jnp.int32), feat2, can)
-        return m
+        return m, int(slot2)
 
     def finish(self):
         """Drain async mapping and merge the final result (the reference's
@@ -561,12 +732,7 @@ class SlamSystem:
         sync mode (no-op)."""
         if self._pipeline is not None:
             self._pipeline.flush()
-            if self._pending_result is not None:
-                m, _, closed = self._pending_result
-                self._pending_result = None
-                self.map = m
-                if closed:
-                    self.n_loops_closed += 1
+            self._consume_pending()
 
     def reset(self):
         """``System::Reset`` / ``Tracking::Reset``: drop the map and return to
@@ -579,12 +745,14 @@ class SlamSystem:
             self._reset_anchor = (np.asarray(self.last_Tcw),
                                   np.asarray(self.last_frame.odom))
         kf_Tcw = None if self.map is None else np.asarray(self.map.kf_Tcw)
+        fid_to_slot = self._fid_to_slot()
         for e in self.trajectory:
-            if e.ref_kf >= 0 and kf_Tcw is not None:
-                e.T_rel = np.asarray(
-                    se3.compose(jnp.asarray(e.T_rel), jnp.asarray(kf_Tcw[e.ref_kf])))
+            if e.ref_kf >= 0:
+                e.T_rel = self._entry_Tcw(e, fid_to_slot, kf_Tcw)
             if e.ref_kf != -1:
                 e.ref_kf = -2
+        self._kf_alive = {}
+        self._dead_kf_poses = {}
         self.map = None
         self.state = tr.NOT_INITIALIZED
         self.ref_frame = None
@@ -613,10 +781,9 @@ class SlamSystem:
             return ""
         lines = []
         m = self.map
-        n = int(m.n_kf)
-        for k in range(n):
-            if not bool(m.kf_valid[k]):
-                continue
+        valid = np.nonzero(np.asarray(m.kf_valid))[0]
+        seq = np.asarray(m.kf_seq)
+        for k in sorted((int(k) for k in valid), key=lambda k: int(seq[k])):
             Twc = se3.inverse(m.kf_Tcw[k])
             Twb = ipm.Twb_from_Twc(self.cfg.extrinsics, Twc)
             q = np.asarray(Twb[:4])  # wxyz
@@ -647,8 +814,10 @@ class SlamSystem:
         if self.map is None:
             return np.zeros((0,), np.int32)
         m = self.map
-        n = int(m.n_kf)
-        ids = [int(m.kf_frame_id[k]) for k in range(n) if bool(m.kf_valid[k])]
+        valid = np.nonzero(np.asarray(m.kf_valid))[0]
+        seq = np.asarray(m.kf_seq)
+        fids = np.asarray(m.kf_frame_id)
+        ids = [int(fids[k]) for k in sorted(valid, key=lambda k: int(seq[k]))]
         return np.asarray(ids, np.int32)
 
     def frame_trajectory_Twb(self) -> np.ndarray:
@@ -656,11 +825,9 @@ class SlamSystem:
         CURRENT keyframe poses so BA / loop corrections propagate."""
         out = []
         kf_Tcw = None if self.map is None else np.asarray(self.map.kf_Tcw)
+        fid_to_slot = self._fid_to_slot()
         for e in self.trajectory:
-            if e.ref_kf >= 0 and kf_Tcw is not None:
-                Tcw = se3.compose(jnp.asarray(e.T_rel), jnp.asarray(kf_Tcw[e.ref_kf]))
-            else:
-                Tcw = jnp.asarray(e.T_rel)
+            Tcw = jnp.asarray(self._entry_Tcw(e, fid_to_slot, kf_Tcw))
             Twc = se3.inverse(Tcw)
             out.append(np.asarray(ipm.Twb_from_Twc(self.cfg.extrinsics, Twc)))
         return np.stack(out) if out else np.zeros((0, 7))

@@ -89,6 +89,11 @@ def match_bird_frames(f1: Frame, cfg: SystemConfig, f2: Frame, T12_b):
 
 
 def _write_kf(m: ms.MapState, slot, f: Frame, Tcw, is_init, frame_id) -> ms.MapState:
+    """Write a keyframe into ``slot``.  Slots RECYCLE (the slot may have held a
+    culled KF), so the per-slot association rows are reset here; callers
+    overwrite them with the new KF's associations afterwards."""
+    F = m.kf_mp.shape[1]
+    FB = m.kf_bird_mp.shape[1]
     return m._replace(
         kf_Tcw=m.kf_Tcw.at[slot].set(Tcw),
         kf_valid=m.kf_valid.at[slot].set(True),
@@ -96,6 +101,7 @@ def _write_kf(m: ms.MapState, slot, f: Frame, Tcw, is_init, frame_id) -> ms.MapS
         kf_odom=m.kf_odom.at[slot].set(f.odom),
         kf_timestamp=m.kf_timestamp.at[slot].set(f.timestamp),
         kf_frame_id=m.kf_frame_id.at[slot].set(frame_id),
+        kf_seq=m.kf_seq.at[slot].set(m.kf_counter),
         kf_uv=m.kf_uv.at[slot].set(f.uv),
         kf_octave=m.kf_octave.at[slot].set(f.octave),
         kf_desc=m.kf_desc.at[slot].set(f.desc),
@@ -105,7 +111,10 @@ def _write_kf(m: ms.MapState, slot, f: Frame, Tcw, is_init, frame_id) -> ms.MapS
         kf_bird_desc=m.kf_bird_desc.at[slot].set(f.bird_desc),
         kf_bird_octave=m.kf_bird_octave.at[slot].set(f.bird_octave),
         kf_bird_kp_valid=m.kf_bird_kp_valid.at[slot].set(f.bird_kp_valid),
+        kf_mp=m.kf_mp.at[slot].set(jnp.full((F,), -1, jnp.int32)),
+        kf_bird_mp=m.kf_bird_mp.at[slot].set(jnp.full((FB,), -1, jnp.int32)),
         n_kf=jnp.maximum(m.n_kf, slot + 1),
+        kf_counter=m.kf_counter + 1,
     )
 
 
@@ -241,6 +250,8 @@ def create_initial_map(
     m = m._replace(
         mp_pos=m.mp_pos.at[pt_ids].set(jnp.where(ok[:, None], init_out.Xw, m.mp_pos[pt_ids])),
         mp_desc=m.mp_desc.at[pt_ids].set(jnp.where(ok[:, None], f2.desc[feat2], m.mp_desc[pt_ids])),
+        mp_desc_pm1=m.mp_desc_pm1.at[pt_ids].set(jnp.where(
+            ok[:, None], f2.desc_pm1[feat2].astype(jnp.bfloat16), m.mp_desc_pm1[pt_ids])),
         mp_valid=m.mp_valid.at[pt_ids].set(jnp.where(ok, True, m.mp_valid[pt_ids])),
         mp_ref_kf=m.mp_ref_kf.at[pt_ids].set(jnp.where(ok, 1, m.mp_ref_kf[pt_ids])),
         mp_first_kf=jnp.zeros_like(m.mp_first_kf),
@@ -254,6 +265,8 @@ def create_initial_map(
     m = ms.add_observation(m, pt_ids, jnp.ones(F, jnp.int32), feat2, ok)
 
     # --- bird points from the two-frame bird match (world = f1 base frame via Tbc)
+    if not cfg.flags.have_bird:
+        return m
     from fishbirdeyevisualslam_tpu.geometry import ipm as ipm_mod
     FB = f1.bird_uv.shape[0]
     T12_b = odo.preintegrate_base(f1.odom, f2.odom)
@@ -275,6 +288,8 @@ def create_initial_map(
     m = m._replace(
         bp_pos=m.bp_pos.at[bids].set(jnp.where(bok[:, None], f1.bird_cam, m.bp_pos[bids])),
         bp_desc=m.bp_desc.at[bids].set(jnp.where(bok[:, None], f1.bird_desc, m.bp_desc[bids])),
+        bp_desc_pm1=m.bp_desc_pm1.at[bids].set(jnp.where(
+            bok[:, None], f1.bird_desc_pm1.astype(jnp.bfloat16), m.bp_desc_pm1[bids])),
         bp_valid=m.bp_valid.at[bids].set(jnp.where(bok, True, m.bp_valid[bids])),
         bp_ref_kf=m.bp_ref_kf.at[bids].set(jnp.where(bok, 0, m.bp_ref_kf[bids])),
         n_bp=jnp.sum(bok.astype(jnp.int32)),
@@ -346,7 +361,7 @@ def match_map_points_dual(m: ms.MapState, f: Frame, cfg: SystemConfig, Tcw_pred,
         m, cfg, Tcw_pred, cand_mask, False)
     P = m.mp_pos.shape[0]
     r_pt = radius * r_scale
-    mp_pm1 = desc_pm1_from_packed(m.mp_desc)
+    mp_pm1 = m.mp_desc_pm1
     if cfg.tracking.use_fused_matcher and jax.default_backend() == "tpu":
         from fishbirdeyevisualslam_tpu.ops import pallas_matcher
         pred_eff = jnp.where(est, pred, -1)
@@ -393,7 +408,7 @@ def match_map_points(
         m, cfg, Tcw_pred, cand_mask, frustum_gates)
     P = m.mp_pos.shape[0]
     r_pt = radius * r_scale                                # (P,) per-point radius
-    mp_pm1 = desc_pm1_from_packed(m.mp_desc)
+    mp_pm1 = m.mp_desc_pm1
     if cfg.tracking.use_fused_matcher and jax.default_backend() == "tpu":
         from fishbirdeyevisualslam_tpu.ops import pallas_matcher
         pred_eff = jnp.where(est, pred, -1)  # pred < 0 = no octave gate (kernel)
@@ -421,15 +436,22 @@ def match_map_points(
 def match_bird_points(m: ms.MapState, f: Frame, cfg: SystemConfig, Tcw_pred, cand_mask):
     """``BirdMapPointMatch`` (``ORBmatcher.cc:1763-1902``): project MapPointBird
     into the current camera frame, descriptor-match in a bird-image window, then
-    accept only if the 3D camera-frame residual < filter_size (0.05 m... the
-    reference uses filterSize=0.05 on coordinate-wise abs)."""
+    gate on the 3D camera-frame residual.
+
+    The reference accepts on an L2 norm < filterSize = 0.05 m
+    (``cv::norm`` NORM_L2, ``ORBmatcher.cc:1881-1889``).  Here the gate is
+    COORDINATE-WISE |d| < filter_gate_mult * filter_size — a Chebyshev box.  At
+    the default mult 3.0 the corner of the box is 3*sqrt(3) ~ 5.2x the
+    reference sphere radius, so the effective acceptance region is looser than
+    the "3x" label suggests; pin ``filter_gate_mult=1`` (and mind the
+    box-vs-sphere difference) when comparing against the reference."""
     from fishbirdeyevisualslam_tpu.geometry import ipm as ipm_mod
     PB = m.bp_pos.shape[0]
     pc = se3.transform(Tcw_pred, m.bp_pos)  # predicted camera-frame position
     p_base = ipm_mod.cam_xyz_to_base(cfg.extrinsics, pc)
     uv_pred = ipm_mod.base_xy_to_bird_pixel(cfg.bird, p_base)
     vis = cand_mask & m.bp_valid & (jnp.abs(p_base[:, 2]) < cfg.bird.plane_gate)
-    bp_pm1 = desc_pm1_from_packed(m.bp_desc)
+    bp_pm1 = m.bp_desc_pm1
     if cfg.tracking.use_fused_matcher and jax.default_backend() == "tpu":
         from fishbirdeyevisualslam_tpu.ops import pallas_matcher
         res = pallas_matcher.fused_projection_match(
@@ -483,20 +505,102 @@ def pose_opt_step(m: ms.MapState, f: Frame, assoc: TrackObs, cfg: SystemConfig, 
         prior_info=cfg.ba.pose_prior_info)
 
 
+def bird_only_view(f: Frame) -> Frame:
+    """Strip the front-keypoint arrays of a Frame to shape-(1, ...) dummies.
+
+    ``bird_frame_maintenance`` only reads the bird fields + odometry of the
+    LAST frame; passing the full Frame would retrace ``track_frame_core``
+    whenever the last frame's front budget differs (the doubled init budget,
+    ``Tracking.cc:127-133``)."""
+    z = jnp.zeros((1,), jnp.float32)
+    return f._replace(
+        uv_raw=jnp.zeros((1, 2), jnp.float32), uv=jnp.zeros((1, 2), jnp.float32),
+        octave=jnp.zeros((1,), jnp.int32), angle=z,
+        desc=jnp.zeros((1, 8), jnp.uint32),
+        desc_pm1=jnp.zeros((1, 256), f.desc_pm1.dtype),
+        kp_valid=jnp.zeros((1,), bool),
+    )
+
+
+def bird_frame_maintenance(m: ms.MapState, f: Frame, cfg: SystemConfig,
+                           last_f: Frame, last_bp_idx, last_Tcw, ref_slot,
+                           bp_idx_map, enabled):
+    """Per-frame bird landmark maintenance (``Tracking::FilterBirdOutlier`` +
+    ``UpdateBirdLocalMap``, ``Tracking.cc:359-465, 1684-1823, 2644-2721``;
+    VERDICT round-2 missing #3).
+
+    The reference creates/shares ``MapPointBird`` between the LAST and CURRENT
+    frame on EVERY tracked frame, so between keyframes the bird constraint set
+    keeps frame granularity.  Here: match the two frames' bird keypoints under
+    the odometry relative transform (``BirdviewMatch``), gate on the 3D
+    residual (FilterBirdOutlier's consistency rule), then for each current
+    keypoint without a map association:
+
+      * SHARE — the matched last-frame keypoint already carries a bird point:
+        adopt its id (the reference writes the same ``MapPointBird*`` into both
+        frames' ``mvpMapPointsBird``);
+      * CREATE — both sides unassociated: allocate a landmark at the LAST
+        frame's lifted position (world = Twc_last * Xc_last), giving the
+        current frame an immediate 3D-3D constraint from an independent
+        measurement.
+
+    Frame-born points carry zero observations until a keyframe adopts them;
+    ``cull_bird_points``' window/age rule retires the unadopted ones.
+    Returns (map, bp_idx (FB,)) where bp_idx merges map-match > share > create.
+    """
+    FB = f.bird_uv.shape[0]
+    PB = m.bp_pos.shape[0]
+    T_cb = odo.preintegrate_base(f.odom, last_f.odom)  # last base -> cur base
+    bres = match_bird_frames(f, cfg, last_f, T_cb)
+    jlast = jnp.clip(bres.idx, 0, FB - 1)
+    # FilterBirdOutlier 3D gate: transported last point vs current measurement
+    p_last_in_cur = se3.transform(T_cb, last_f.bird_base)
+    d = jnp.linalg.norm(f.bird_base - p_last_in_cur[jlast], axis=-1)
+    pair_ok = bres.ok & (d < 0.15) & enabled
+    free_cur = bp_idx_map < 0
+    last_pt = last_bp_idx[jlast]
+    share = pair_ok & free_cur & (last_pt >= 0) & \
+        m.bp_valid[jnp.clip(last_pt, 0, PB - 1)]
+    create = pair_ok & free_cur & (last_pt < 0)
+    # world position from the LAST frame's independent measurement
+    Twc_last = se3.inverse(last_Tcw)
+    Xw_last = se3.transform(Twc_last, last_f.bird_cam)[jlast]
+    dest, can = ms.alloc_slots(m.bp_valid, create)
+    m = ms.reset_bird_slots(m, dest, can)
+    m = m._replace(
+        bp_pos=m.bp_pos.at[dest].set(jnp.where(can[:, None], Xw_last, m.bp_pos[dest])),
+        bp_desc=m.bp_desc.at[dest].set(jnp.where(can[:, None], f.bird_desc, m.bp_desc[dest])),
+        bp_desc_pm1=m.bp_desc_pm1.at[dest].set(jnp.where(
+            can[:, None], f.bird_desc_pm1.astype(jnp.bfloat16), m.bp_desc_pm1[dest])),
+        bp_valid=m.bp_valid.at[dest].set(jnp.where(can, True, m.bp_valid[dest])),
+        bp_ref_kf=m.bp_ref_kf.at[dest].set(jnp.where(can, ref_slot, m.bp_ref_kf[dest])),
+        bp_birth=m.bp_birth.at[dest].set(jnp.where(can, m.kf_counter - 1, m.bp_birth[dest])),
+        n_bp=m.n_bp + jnp.sum(can.astype(jnp.int32)),
+    )
+    bp_idx = jnp.where(share, last_pt,
+                       jnp.where(can, dest, bp_idx_map))
+    return m, bp_idx
+
+
 class TrackCoreOut(NamedTuple):
     """One-fetch output of the fused per-frame tracking core."""
 
     Tcw: jnp.ndarray        # (7,) optimized pose
     mp_idx: jnp.ndarray     # (F,) inlier front associations
     bp_idx: jnp.ndarray     # (FB,) inlier bird associations
-    mp_visible: jnp.ndarray  # (P,) updated visible counters
-    mp_found: jnp.ndarray    # (P,) updated found counters
-    scalars: jnp.ndarray    # (2,) int32 [n_motion_matches, n_inliers]
+    map: ms.MapState        # map with updated counters + frame-born bird points
+    scalars: jnp.ndarray    # (7,) int32 [n_motion_matches, n_inliers,
+                            #  n_ref_matches_minobs3, n_ref_matches_minobs2,
+                            #  n_bird_inliers, n_ref_bird, n_valid_kfs]
+                            # — everything the NeedNewKeyFrame policy reads,
+                            # in the same single fetch
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def track_frame_core(m: ms.MapState, f: Frame, cfg: SystemConfig,
-                     Tcw_pred, cand_last) -> TrackCoreOut:
+                     Tcw_pred, cand_last, ref_kf=None, last_f=None,
+                     last_bp_idx=None, last_Tcw=None,
+                     bird_maint_enabled=True) -> TrackCoreOut:
     """The whole OK-state frame step as ONE device program:
     TrackWithMotionModel (15 px window, 30 px retry selected on-device) +
     bird matching + first pose opt + TrackLocalMap (frustum-gated local-map
@@ -517,8 +621,14 @@ def track_frame_core(m: ms.MapState, f: Frame, cfg: SystemConfig,
         jnp.where(use30, res30.dist, res15.dist),
         jnp.where(use30, res30.ok, res15.ok))
     n_mm = res.count
-    bres = match_bird_points(m, f, cfg, Tcw_pred, bird_local_mask(m, cfg, Tcw_pred))
-    assoc = TrackObs(res.idx, bres.idx)
+    # bHaveBird gates the ENTIRE bird pipeline (src/System.cc:34); cfg is
+    # static so the disabled branch compiles to nothing
+    if cfg.flags.have_bird:
+        bres_idx = match_bird_points(
+            m, f, cfg, Tcw_pred, bird_local_mask(m, cfg, Tcw_pred)).idx
+    else:
+        bres_idx = jnp.full((f.bird_uv.shape[0],), -1, jnp.int32)
+    assoc = TrackObs(res.idx, bres_idx)
     out1 = pose_opt_step(m, f, assoc, cfg, Tcw_pred, Tcw_pred)
     ok1 = n_mm >= 10
     Tcw1 = jnp.where(ok1, out1.Tcw, Tcw_pred)
@@ -532,8 +642,19 @@ def track_frame_core(m: ms.MapState, f: Frame, cfg: SystemConfig,
         radius=jnp.float32(12.0), max_dist=jnp.float32(cfg.matcher.th_high),
         frustum_gates=True)
     mp_idx = jnp.where(mp1 >= 0, mp1, res2.idx)
-    bres2 = match_bird_points(m, f, cfg, Tcw1, bird_local_mask(m, cfg, Tcw1))
-    bp_idx = jnp.where(bp1 >= 0, bp1, bres2.idx)
+    if cfg.flags.have_bird:
+        bres2_idx = match_bird_points(m, f, cfg, Tcw1,
+                                      bird_local_mask(m, cfg, Tcw1)).idx
+    else:
+        bres2_idx = jnp.full((f.bird_uv.shape[0],), -1, jnp.int32)
+    bp_idx = jnp.where(bp1 >= 0, bp1, bres2_idx)
+    # per-frame bird maintenance: share/create landmarks against the LAST frame
+    # (GetPerFrameMatchedBirdPoints inside TrackLocalMap, Tracking.cc:1392)
+    if cfg.flags.have_bird and last_f is not None:
+        m, bp_idx = bird_frame_maintenance(
+            m, f, cfg, last_f, last_bp_idx, last_Tcw,
+            jnp.int32(0) if ref_kf is None else ref_kf, bp_idx,
+            bird_maint_enabled)
     out2 = pose_opt_step(m, f, TrackObs(mp_idx, bp_idx), cfg, Tcw1, Tcw_pred)
     mp_fin = jnp.where(out2.front_inlier, mp_idx, -1)
     bp_fin = jnp.where(out2.bird_inlier, bp_idx, -1)
@@ -542,8 +663,23 @@ def track_frame_core(m: ms.MapState, f: Frame, cfg: SystemConfig,
     mp_visible = m.mp_visible + (vis2 & pt_local).astype(jnp.int32)
     mp_found = m.mp_found.at[jnp.where(mp_fin >= 0, found_pid, P - 1)].add(
         (mp_fin >= 0).astype(jnp.int32))
-    scalars = jnp.stack([n_mm, out2.n_inliers]).astype(jnp.int32)
-    return TrackCoreOut(out2.Tcw, mp_fin, bp_fin, mp_visible, mp_found, scalars)
+    m = m._replace(mp_visible=mp_visible, mp_found=mp_found)
+    # reference-KF tracked-point counts for NeedNewKeyFrame's nRefMatches
+    # (``KeyFrame::TrackedMapPoints(minObs)``, ``Tracking.cc:1478-1481``)
+    if ref_kf is None:
+        ref_kf = jnp.int32(0)
+    nobs = ms.point_obs_count(m)
+    rp = m.kf_mp[ref_kf]
+    rp_ok = (rp >= 0) & m.mp_valid[jnp.clip(rp, 0, P - 1)]
+    robs = nobs[jnp.clip(rp, 0, P - 1)]
+    nref3 = jnp.sum((rp_ok & (robs >= 3)).astype(jnp.int32))
+    nref2 = jnp.sum((rp_ok & (robs >= 2)).astype(jnp.int32))
+    n_bird_cur = jnp.sum((bp_fin >= 0).astype(jnp.int32))
+    n_ref_bird = jnp.sum((m.kf_bird_mp[ref_kf] >= 0).astype(jnp.int32))
+    n_valid_kfs = jnp.sum(m.kf_valid.astype(jnp.int32))
+    scalars = jnp.stack([n_mm, out2.n_inliers, nref3, nref2,
+                         n_bird_cur, n_ref_bird, n_valid_kfs]).astype(jnp.int32)
+    return TrackCoreOut(out2.Tcw, mp_fin, bp_fin, m, scalars)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -588,24 +724,42 @@ def bird_local_mask(m: ms.MapState, cfg: SystemConfig, Tcw):
 # ---------------------------------------------------------------------------
 
 
+@jax.jit
+def free_kf_slot(m: ms.MapState):
+    """First free KF slot (recycling culled capacity) and whether one exists.
+    The reference's map grows unbounded (``LocalMapping::KeyFrameCulling`` frees
+    heap); fixed-capacity arrays must hand culled slots back out or keyframe
+    insertion dies after ``max_keyframes`` LIFETIME insertions (VERDICT round-2
+    missing #1)."""
+    slot = jnp.argmax(~m.kf_valid).astype(jnp.int32)
+    ok = ~m.kf_valid[slot]
+    return slot, ok, jnp.sum((~m.kf_valid).astype(jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnums=(4,))
 def insert_keyframe(
     m: ms.MapState, f: Frame, assoc: TrackObs, Tcw, cfg: SystemConfig, frame_id,
+    slot=None,
 ) -> ms.MapState:
     """``CreateNewKeyFrame`` (``Tracking.cc:1542-1620``): write the KF, register
     the frame's map-point associations as observations, create new bird points
     from unmatched bird keypoints (``GenerateBirdPoints``/``CreateBirdPoints``,
-    ``:1622-1682``)."""
-    slot = m.n_kf
+    ``:1622-1682``).  ``slot`` defaults to the first free (possibly recycled)
+    slot; callers must ensure one exists."""
+    if slot is None:
+        slot, _, _ = free_kf_slot(m)
     m = _write_kf(m, slot, f, Tcw, False, frame_id)
     F = f.uv.shape[0]
     FB = f.bird_uv.shape[0]
     P = m.mp_pos.shape[0]
     PB = m.bp_pos.shape[0]
 
-    # front observations for matched features
+    # front observations for matched features; the mp_valid gate matters for
+    # journal REPLAY after a background correction — associations may reference
+    # points the correction merged away
     fok = (assoc.mp_idx >= 0) & f.kp_valid
     pid = jnp.clip(assoc.mp_idx, 0, P - 1)
+    fok = fok & m.mp_valid[pid]
     feats = jnp.arange(F, dtype=jnp.int32)
     m = m._replace(kf_mp=m.kf_mp.at[slot].set(jnp.where(fok, assoc.mp_idx, -1)))
     m = ms.add_observation(m, pid, jnp.full(F, slot, jnp.int32), feats, fok)
@@ -613,8 +767,12 @@ def insert_keyframe(
     m = m._replace(mp_found=m.mp_found.at[jnp.where(fok, pid, P - 1)].add(fok.astype(jnp.int32)))
 
     # bird: matched -> observations; unmatched valid bird kp -> new bird points
+    # (bHaveBird off: no bird landmarks at all, src/System.cc:34)
+    if not cfg.flags.have_bird:
+        return m
     bok = (assoc.bp_idx >= 0) & f.bird_kp_valid
     bid = jnp.clip(assoc.bp_idx, 0, PB - 1)
+    bok = bok & m.bp_valid[bid]
     bfeats = jnp.arange(FB, dtype=jnp.int32)
     m = ms.add_bird_observation(m, bid, jnp.full(FB, slot, jnp.int32), bfeats, bok)
 
@@ -626,14 +784,46 @@ def insert_keyframe(
     m = m._replace(
         bp_pos=m.bp_pos.at[dest].set(jnp.where(can[:, None], bp_world, m.bp_pos[dest])),
         bp_desc=m.bp_desc.at[dest].set(jnp.where(can[:, None], f.bird_desc, m.bp_desc[dest])),
+        bp_desc_pm1=m.bp_desc_pm1.at[dest].set(jnp.where(
+            can[:, None], f.bird_desc_pm1.astype(jnp.bfloat16), m.bp_desc_pm1[dest])),
         bp_valid=m.bp_valid.at[dest].set(jnp.where(can, True, m.bp_valid[dest])),
         bp_ref_kf=m.bp_ref_kf.at[dest].set(jnp.where(can, slot, m.bp_ref_kf[dest])),
+        bp_birth=m.bp_birth.at[dest].set(jnp.where(can, m.kf_seq[slot], m.bp_birth[dest])),
         n_bp=m.n_bp + jnp.sum(can.astype(jnp.int32)),
         kf_bird_mp=m.kf_bird_mp.at[slot].set(
             jnp.where(bok, assoc.bp_idx, jnp.where(can, dest, -1))),
     )
     m = ms.add_bird_observation(m, dest, jnp.full(FB, slot, jnp.int32), bfeats, can)
     return m
+
+
+def odom_chain_edges(m: ms.MapState, cfg: SystemConfig, member_mask) -> OdomEdges:
+    """Odometry SE3 edges between temporally consecutive keyframes of
+    ``member_mask`` (+ skip-1/skip-2 under ``tight_couple2``), ordered by
+    insertion sequence so recycled slots chain correctly.  With
+    ``tight_couple=False`` the edges exist but are all masked invalid (fixed
+    shapes; the reference simply adds no edges, ``Optimizer.cc:2419``)."""
+    ba = cfg.ba
+    flags = cfg.flags
+    K = m.K
+    perm = ms.temporal_perm(m)
+    edges_i, edges_j, infos = [], [], []
+    specs = [(1, ba.odom_info_chain * ba.w_pose)]
+    if flags.tight_couple2:
+        specs += [(2, ba.odom_info_skip1), (3, ba.odom_info_skip2 * ba.w_pose)]
+    for skip, info in specs:
+        edges_i.append(perm[:-skip])
+        edges_j.append(perm[skip:])
+        infos.append(jnp.full(K - skip, info, jnp.float32))
+    ei = jnp.concatenate(edges_i)
+    ej = jnp.concatenate(edges_j)
+    einfo = jnp.concatenate(infos)
+    ev = member_mask[ei] & member_mask[ej] & m.kf_valid[ei] & m.kf_valid[ej]
+    if not flags.tight_couple:
+        ev = jnp.zeros_like(ev)
+    T_meas = jax.vmap(lambda a, b: odo.preintegrate_cam(
+        cfg.extrinsics, m.kf_odom[a], m.kf_odom[b]))(ei, ej)
+    return OdomEdges(ei, ej, T_meas, einfo, ev)
 
 
 def _epipolar_line_dist(cam, Tcw1, Tcw2, uv1, uv2):
@@ -709,10 +899,12 @@ def triangulate_new_points(
     )
     ok = res.ok & tri.valid
     dest, can = ms.alloc_slots(m.mp_valid, ok)
-    m = ms.reset_point_slots(m, dest, can, new_kf)
+    m = ms.reset_point_slots(m, dest, can, m.kf_seq[new_kf])
     m = m._replace(
         mp_pos=m.mp_pos.at[dest].set(jnp.where(can[:, None], tri.Xw, m.mp_pos[dest])),
         mp_desc=m.mp_desc.at[dest].set(jnp.where(can[:, None], m.kf_desc[new_kf], m.mp_desc[dest])),
+        mp_desc_pm1=m.mp_desc_pm1.at[dest].set(jnp.where(
+            can[:, None], d1.astype(jnp.bfloat16), m.mp_desc_pm1[dest])),
         mp_valid=m.mp_valid.at[dest].set(jnp.where(can, True, m.mp_valid[dest])),
         mp_ref_kf=m.mp_ref_kf.at[dest].set(jnp.where(can, new_kf, m.mp_ref_kf[dest])),
         n_mp=m.n_mp + jnp.sum(can.astype(jnp.int32)),
@@ -737,7 +929,7 @@ def local_ba(m: ms.MapState, cfg: SystemConfig, center_kf) -> ms.MapState:
     w = jnp.where(m.kf_valid, C[center_kf], -1)
     w = w.at[center_kf].set(jnp.iinfo(jnp.int32).max)
     # top local KFs by covisibility (always includes center)
-    _, local_idx = jax.lax.top_k(w, cap.max_local_kfs)
+    _, local_idx = jax.lax.top_k(w, min(cap.max_local_kfs, K))
     is_local = jnp.zeros((K,), bool).at[local_idx].set(True) & m.kf_valid & (w[jnp.arange(K)] > 0)
     is_local = is_local.at[center_kf].set(True)
 
@@ -775,28 +967,13 @@ def local_ba(m: ms.MapState, cfg: SystemConfig, center_kf) -> ms.MapState:
         point_valid=bpt_in,
     )
 
-    # odometry edges between consecutive local KFs (chain + skip1 + skip2)
-    ba = cfg.ba
-    flags = cfg.flags
-    edges_i, edges_j, infos = [], [], []
-    if flags.tight_couple:
-        slots = jnp.arange(K, dtype=jnp.int32)
-        for skip, info in ((1, ba.odom_info_chain * ba.w_pose),
-                           (2, ba.odom_info_skip1),
-                           (3, ba.odom_info_skip2 * ba.w_pose)):
-            if skip > 1 and not flags.tight_couple2:
-                continue
-            edges_i.append(slots[:-skip])
-            edges_j.append(slots[skip:])
-            infos.append(jnp.full(K - skip, info, jnp.float32))
-    ei = jnp.concatenate(edges_i)
-    ej = jnp.concatenate(edges_j)
-    einfo = jnp.concatenate(infos)
-    ev = is_local[ei] & is_local[ej] & m.kf_valid[ei] & m.kf_valid[ej]
-    T_meas = jax.vmap(lambda a, b: odo.preintegrate_cam(cfg.extrinsics, m.kf_odom[a], m.kf_odom[b]))(ei, ej)
-    odom_edges = OdomEdges(ei, ej, T_meas, einfo, ev)
+    # odometry edges between TEMPORALLY consecutive local KFs (chain + skip1 +
+    # skip2, ``Optimizer.cc:2419-2495``).  Ordering goes through kf_seq — with
+    # slot recycling, slot adjacency is meaningless (VERDICT round-2 next #1).
+    odom_edges = odom_chain_edges(m, cfg, is_local)
 
-    out = bundle_adjust(cfg.camera, ba, m.kf_Tcw, fixed, front, bird, odom_edges)
+    out = bundle_adjust(cfg.camera, cfg.ba, m.kf_Tcw, fixed, front, bird,
+                        odom_edges)
     # write back; drop observations classified as outliers
     return m._replace(
         kf_Tcw=out.poses,
@@ -834,7 +1011,7 @@ def fuse_neighbors(m: ms.MapState, new_kf, neighbor_kf, cfg: SystemConfig,
     vis = has_pt & (pc[:, 2] > 0.1)
     compat = matcher.window_mask(uv_proj, m.kf_uv[neighbor_kf], 4.0)
     compat = compat & vis[:, None] & m.kf_kp_valid[neighbor_kf][None, :]
-    d_pts = desc_pm1_from_packed(m.mp_desc[pid])
+    d_pts = m.mp_desc_pm1[pid]
     d_nb = desc_pm1_from_packed(m.kf_desc[neighbor_kf])
     res = matcher.match(d_pts, d_nb, compat, max_dist=float(cfg.matcher.th_low))
     res = matcher.resolve_duplicates(res, F)
@@ -937,22 +1114,79 @@ def local_mapping_step(m: ms.MapState, new_kf, cfg: SystemConfig,
     redundant keyframes (``LocalMapping::Run`` body, ``LocalMapping.cc:51-130``).
     Fusing the stages removes ~7 per-KF dispatches — on an attached host that
     is sync/launch overhead; through the test tunnel it is ~7 HTTP RTTs."""
+    m = local_mapping_pre(m, new_kf, cfg, n_neighbors)
+    m = local_mapping_ba(m, new_kf, cfg)
+    return m
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def local_mapping_pre(m: ms.MapState, new_kf, cfg: SystemConfig,
+                      n_neighbors: int) -> ms.MapState:
+    """Mapping stages BEFORE local BA (triangulate / fuse / cull / stats).
+    Split out so the async pipeline can honor InterruptBA between the map
+    maintenance and the optimization (``LocalMapping::Run`` checks
+    ``mbAbortBA`` before entering BA, ``LocalMapping.cc:85-97``)."""
     m = local_mapping_triangulate(m, new_kf, cfg, n_neighbors)
     m = local_mapping_fuse(m, new_kf, cfg, n_neighbors)
     m = cull_points(m, cfg)
     m = cull_bird_points(m, cfg, m.kf_Tcw[new_kf])
     m = update_point_stats(m, cfg)
-    m = local_ba(m, cfg, new_kf)
-    m = cull_keyframes(m, cfg, new_kf - 2)
     return m
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def local_mapping_ba(m: ms.MapState, new_kf, cfg: SystemConfig) -> ms.MapState:
+    """Local BA + keyframe culling (the InterruptBA-skippable tail)."""
+    m = local_ba(m, cfg, new_kf)
+    m = cull_keyframes(m, cfg)
+    return m
+
+
+def need_new_keyframe(cfg: SystemConfig, *, localization_only: bool,
+                      n_kfs: int, frame_id: int, last_kf_frame_id: int,
+                      last_reloc_frame_id: int, n_inliers: int,
+                      n_ref_matches: int, mapping_idle: bool,
+                      n_bird_matched: int = 0, n_ref_bird: int = 0):
+    """``Tracking::NeedNewKeyFrame`` (``Tracking.cc:1444-1540``) as a pure
+    decision function.  Returns ``(need, interrupt_ba)``.
+
+    Conditions (monocular):
+      * refuse while localization-only, or within mMaxFrames of a
+        relocalization when the map already has > mMaxFrames keyframes;
+      * c1a: mMaxFrames elapsed since the last KF;
+      * c1b: mMinFrames elapsed AND local mapping is idle;
+      * c2:  inliers < 0.9 * nRefMatches AND inliers > 15;
+      * insert on (c1a|c1b) & c2 if mapping is idle; otherwise request
+        InterruptBA and do NOT insert (mono has no KF queue,
+        ``Tracking.cc:1522-1538``).
+    The bird trigger b1 (matched bird < 0.35 * ref-KF bird points,
+    ``Tracking.cc:1508``) is computed but NOT or-ed into the decision — the
+    reference computes it and leaves it out of the final condition."""
+    if localization_only:
+        return False, False
+    max_frames = int(cfg.tracking.max_frames_between_kf)
+    min_frames = int(cfg.tracking.min_frames_between_kf)
+    if frame_id < last_reloc_frame_id + max_frames and n_kfs > max_frames:
+        return False, False
+    th_ref_ratio = 0.9
+    c1a = frame_id >= last_kf_frame_id + max_frames
+    c1b = frame_id >= last_kf_frame_id + max(1, min_frames) and mapping_idle
+    c2 = (n_inliers < n_ref_matches * th_ref_ratio) and n_inliers > 15
+    b1 = n_ref_bird > 0 and n_bird_matched < 0.35 * n_ref_bird  # noqa: F841
+    if (c1a or c1b) and c2:
+        if mapping_idle:
+            return True, False
+        return False, True
+    return False, False
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
-def cull_keyframes(m: ms.MapState, cfg: SystemConfig, protect_from) -> ms.MapState:
+def cull_keyframes(m: ms.MapState, cfg: SystemConfig) -> ms.MapState:
     """``LocalMapping::KeyFrameCulling`` (``LocalMapping.cc:656-729``): a KF is
     redundant if >= 90% of its tracked points are observed by at least 3 other
-    KFs.  Protected: slots >= protect_from (recent), slot 0/1 (init pair),
-    isInit gauges."""
+    KFs.  Protected (by insertion SEQUENCE, not slot — slots recycle): the two
+    first-ever KFs, the 3 most recent, and isInit gauges.  Culled slots return
+    to the free list via ``free_kf_slot``; orphaned landmark refs are re-homed."""
     K = m.K
     P = m.mp_pos.shape[0]
     nobs = ms.point_obs_count(m)  # (P,)
@@ -962,9 +1196,8 @@ def cull_keyframes(m: ms.MapState, cfg: SystemConfig, protect_from) -> ms.MapSta
     n_tracked = jnp.sum(tracked.astype(jnp.int32), axis=1)
     n_red = jnp.sum(redundant_pt.astype(jnp.int32), axis=1)
     frac = n_red / jnp.maximum(n_tracked, 1)
-    idx = jnp.arange(K)
     cullable = m.kf_valid & (frac > 0.9) & (n_tracked > 10) \
-        & (idx >= 2) & (idx < protect_from) & ~m.kf_is_init
+        & (m.kf_seq >= 2) & (m.kf_seq < m.kf_counter - 3) & ~m.kf_is_init
     # cull at most ONE keyframe per call: the redundancy test is computed
     # against PRE-cull observation counts, so batch-culling mutually-redundant
     # KFs would cascade points below their observation minimum (the reference
@@ -975,7 +1208,37 @@ def cull_keyframes(m: ms.MapState, cfg: SystemConfig, protect_from) -> ms.MapSta
     # drop observations from culled KFs
     obs_keep = m.obs_valid & keep[m.obs_kf]
     bobs_keep = m.bobs_valid & keep[m.bobs_kf]
-    return m._replace(kf_valid=keep, obs_valid=obs_keep, bobs_valid=bobs_keep)
+    m = m._replace(kf_valid=keep,
+                   kf_seq=jnp.where(keep, m.kf_seq, -1),
+                   obs_valid=obs_keep, bobs_valid=bobs_keep)
+    return ms.reassign_orphan_refs(m)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def force_evict_keyframe(m: ms.MapState, cfg: SystemConfig) -> ms.MapState:
+    """Capacity-pressure eviction (EXTENSION): when every slot is live and a new
+    keyframe is needed, retire the least-connected eligible KF so insertion
+    never dies.  The reference runs unbounded in RAM (``LocalMapping.cc:656``)
+    and has no such regime; a fixed-memory deployment needs one — this is the
+    sliding-window analog, preferring the KF whose covisibility ties are
+    weakest (losing it distorts the graph least).  Protected: the first pair,
+    isInit gauges, and the 5 newest (the active local window)."""
+    C = ms.covisibility_counts(m) + ms.bird_covisibility_counts(m)
+    ties = jnp.sum(jnp.where(m.kf_valid[None, :], C, 0), axis=1)
+    eligible = m.kf_valid & (m.kf_seq >= 2) & (m.kf_seq < m.kf_counter - 5) \
+        & ~m.kf_is_init
+    # least ties; tie-break oldest (lowest seq)
+    K = m.K
+    score = ties.astype(jnp.float32) * jnp.float32(K) + \
+        m.kf_seq.astype(jnp.float32) / jnp.float32(1 << 20)
+    victim = jnp.argmin(jnp.where(eligible, score, jnp.inf))
+    do = eligible[victim]
+    keep = m.kf_valid & ~(jnp.zeros((K,), bool).at[victim].set(do))
+    m = m._replace(kf_valid=keep,
+                   kf_seq=jnp.where(keep, m.kf_seq, -1),
+                   obs_valid=m.obs_valid & keep[m.obs_kf],
+                   bobs_valid=m.bobs_valid & keep[m.bobs_kf])
+    return ms.reassign_orphan_refs(ms.scrub_stale_refs(m))
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -1023,6 +1286,9 @@ def update_point_stats(m: ms.MapState, cfg: SystemConfig) -> ms.MapState:
     min_dist = max_dist / (sf ** (cfg.orb.n_levels - 1))
     return m._replace(
         mp_desc=jnp.where(has_obs[:, None], new_desc, m.mp_desc),
+        mp_desc_pm1=jnp.where(has_obs[:, None],
+                              desc_pm1_from_packed(new_desc).astype(jnp.bfloat16),
+                              m.mp_desc_pm1),
         mp_normal=jnp.where(has_obs[:, None], normal, m.mp_normal),
         mp_min_dist=jnp.where(has_obs, min_dist, m.mp_min_dist),
         mp_max_dist=jnp.where(has_obs, max_dist, m.mp_max_dist),
@@ -1035,7 +1301,9 @@ def cull_points(m: ms.MapState, cfg: SystemConfig) -> ms.MapState:
     found/visible ratio < 0.25 or with < 2 observations a few KFs after birth."""
     ratio = m.mp_found.astype(jnp.float32) / jnp.maximum(m.mp_visible.astype(jnp.float32), 1.0)
     nobs = ms.point_obs_count(m)
-    mature = (m.n_kf - m.mp_first_kf) >= 2
+    # age in KF insertions via the monotone counter (newest seq = counter - 1);
+    # mp_first_kf stores the CREATING KF's seq, not its slot
+    mature = (m.kf_counter - 1 - m.mp_first_kf) >= 2
     keep = m.mp_valid & (ratio >= 0.25) & (~mature | (nobs >= 2))
     m = m._replace(mp_valid=keep, obs_valid=m.obs_valid & keep[:, None])
     # culled slots return to the free list — stale kf_mp references must die
@@ -1061,7 +1329,7 @@ def cull_bird_points(m: ms.MapState, cfg: SystemConfig, Tcw_cur) -> ms.MapState:
     # in-window single-obs points expire after a few keyframes too: every
     # following KF was a chance to be matched, and on small loops the window
     # alone never drains (saturation regression test covers this)
-    young = (m.n_kf - m.bp_ref_kf) <= 4
+    young = (m.kf_counter - 1 - m.bp_birth) <= 4
     keep = m.bp_valid & ((nobs >= 2) | (in_window & young))
     m = m._replace(bp_valid=keep, bobs_valid=m.bobs_valid & keep[:, None])
     return ms.scrub_stale_refs(m)

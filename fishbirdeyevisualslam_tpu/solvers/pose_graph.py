@@ -74,28 +74,35 @@ def build_pose_graph_edges(
     kf_valid,          # (K,)
     loop_i, loop_j, loop_T,  # loop edges: (L,) + (L, 7) measured relative poses
     min_feat: int = 100,
+    kf_seq=None,       # (K,) insertion sequence — "earlier" means OLDER, not a
+                       # lower slot index (slots recycle)
 ):
     """Edge set of the essential graph: covisibility spanning tree, strong
     covisibility (>= min_feat), bird-covisibility fallback for front-starved
     KFs, and the provided loop edges."""
     K = poses_meas.shape[0]
     idx = jnp.arange(K, dtype=jnp.int32)
+    if kf_seq is None:
+        kf_seq = idx
 
-    # spanning tree: parent(k) = earlier KF with max front covisibility
+    # spanning tree: parent(k) = earlier (by SEQ) KF with max front covisibility
     # (``KeyFrame::UpdateConnections``' ChangeParent target); orphans repaired
-    # by bird covisibility, then by the nearest earlier id — the reference's
+    # by bird covisibility, then by the nearest earlier seq — the reference's
     # orphan repair in ``KeyFrame::UpdateBirdConnections`` (KeyFrame.cc:447-479)
-    earlier = (idx[None, :] < idx[:, None]) & kf_valid[None, :] & kf_valid[:, None]
+    earlier = (kf_seq[None, :] < kf_seq[:, None]) & kf_valid[None, :] & kf_valid[:, None]
     wf = jnp.where(earlier, covis, -1)
     wb = jnp.where(earlier, bird_covis, -1)
     pf = jnp.argmax(wf, axis=1).astype(jnp.int32)
     pb = jnp.argmax(wb, axis=1).astype(jnp.int32)
-    p_near = jnp.maximum(idx - 1, 0)
+    # nearest-earlier fallback: among earlier valid KFs, the one with max seq
+    seq_masked = jnp.where(earlier, kf_seq[None, :], -1)
+    p_near = jnp.argmax(seq_masked, axis=1).astype(jnp.int32)
     parent = jnp.where(jnp.max(wf, axis=1) > 0, pf,
                        jnp.where(jnp.max(wb, axis=1) > 0, pb, p_near))
-    ci = idx[1:]
-    cj = parent[1:]
-    cvalid = kf_valid[ci] & kf_valid[cj]
+    has_earlier = jnp.any(earlier, axis=1)
+    ci = idx
+    cj = parent
+    cvalid = kf_valid[ci] & kf_valid[cj] & has_earlier & (ci != cj)
 
     # strong covisibility: EVERY pair sharing >= min_feat points (the reference
     # keeps all of them, ``Optimizer.cc:1264-1298``; round 1 capped at the top-4

@@ -36,6 +36,7 @@ m = m._replace(
         rng.uniform(-10, 10, P), rng.uniform(-5, 5, P), rng.uniform(5, 40, P)
     ], -1).astype(np.float32)),
     mp_desc=jnp.asarray(rng.randint(0, 2**32, (P, 8), dtype=np.uint64).astype(np.uint32)),
+    mp_desc_pm1=jnp.asarray(rng.choice([-1.0, 1.0], (P, 256)).astype(np.float32), jnp.bfloat16),
     mp_valid=jnp.ones((P,), bool),
     mp_max_dist=jnp.full((P,), 60.0),
     mp_min_dist=jnp.full((P,), 1.0),
@@ -43,6 +44,7 @@ m = m._replace(
         rng.uniform(2, 12, PB), rng.uniform(-6, 6, PB), np.zeros(PB)
     ], -1).astype(np.float32)),
     bp_desc=jnp.asarray(rng.randint(0, 2**32, (PB, 8), dtype=np.uint64).astype(np.uint32)),
+    bp_desc_pm1=jnp.asarray(rng.choice([-1.0, 1.0], (PB, 256)).astype(np.float32), jnp.bfloat16),
     bp_valid=jnp.ones((PB,), bool),
     bp_ref_kf=jnp.zeros((PB,), jnp.int32),
     kf_valid=m.kf_valid.at[:K].set(True),

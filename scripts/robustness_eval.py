@@ -6,8 +6,8 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import numpy as np
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/fbev_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# persistent cache disabled on CPU: XLA:CPU AOT reload segfaults on this host
+# (see tests/conftest.py)
 
 from fishbirdeyevisualslam_tpu.config import SystemConfig
 from fishbirdeyevisualslam_tpu.io import synthetic
@@ -18,14 +18,15 @@ from fishbirdeyevisualslam_tpu.slam import tracking as tr
 
 
 def run(n_frames=80, kind="circle", noise=0.02, seed=0, use_contour=True,
-        bird_gate_mult=None):
+        bird_gate_mult=None, degraded=False):
     cfg = SystemConfig()
     if bird_gate_mult is not None:
         import dataclasses
         cfg = cfg.replace(bird=dataclasses.replace(
             cfg.bird, filter_gate_mult=bird_gate_mult))
-    seq = synthetic.make_sequence(cfg, n_frames=n_frames, kind=kind,
-                                  odom_noise=noise, seed=seed)
+    seq = synthetic.make_sequence(
+        cfg, n_frames=n_frames, kind=kind, odom_noise=noise, seed=seed,
+        degrade=synthetic.DegradeConfig() if degraded else None)
     sys_ = SlamSystem(cfg)
     for i, fr in enumerate(seq.frames):
         sys_.track(fr["front"], fr["bird"], fr["mask"], seq.odom[i], fr["timestamp"],
@@ -51,7 +52,8 @@ def run(n_frames=80, kind="circle", noise=0.02, seed=0, use_contour=True,
                 cfg.extrinsics, se3.inverse(m.kf_Tcw[k]))) for _, k in kf_rows])
             gt_kf = np.asarray(seq.gt)[[i for i, _ in kf_rows]]
             ate_kf = float(ate_rmse_vs_gt(Twb, gt_kf))
-    print(f"kind={kind} n={n_frames} noise={noise} seed={seed} contour={use_contour}: "
+    print(f"kind={kind} n={n_frames} noise={noise} seed={seed} contour={use_contour} "
+          f"degraded={degraded}: "
           f"lost={sum(s == tr.LOST for s in states)} kf={int(sys_.map.n_kf) if sys_.map is not None else 0} "
           f"loops={sys_.n_loops_closed} ATE={float(ate):.3f} m "
           f"(KF-only {ate_kf:.3f} m, odom-only {float(ate_odo):.3f} m)")
@@ -68,6 +70,9 @@ if __name__ == "__main__":
     p.add_argument("--no-contour", action="store_true")
     p.add_argument("--bird-gate-mult", type=float, default=None,
                    help="override BirdConfig.filter_gate_mult (reference = 1.0)")
+    p.add_argument("--degraded", action="store_true",
+                   help="sensor-degraded rendering (exposure walk, noise, "
+                        "vignette, motion blur, IPM seams, contour dropout)")
     a = p.parse_args()
     run(a.frames, a.kind, a.noise, a.seed, use_contour=not a.no_contour,
-        bird_gate_mult=a.bird_gate_mult)
+        bird_gate_mult=a.bird_gate_mult, degraded=a.degraded)

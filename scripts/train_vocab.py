@@ -19,8 +19,8 @@ import time
 import numpy as np
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/fbev_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# persistent cache disabled on CPU: XLA:CPU AOT reload segfaults on this host
+# (see tests/conftest.py)
 
 from fishbirdeyevisualslam_tpu.config import SystemConfig
 from fishbirdeyevisualslam_tpu.io import synthetic

@@ -15,7 +15,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: XLA CPU programs here are large (8-level extractors,
-# 15-iteration BA) and identical across test runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/fbev_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: the persistent compile cache is deliberately NOT enabled for CPU test
+# runs.  On this host, re-LOADING XLA:CPU AOT executables from the cache
+# segfaults inside compilation_cache.get_executable_and_time (the loader warns
+# "+prefer-no-scatter ... not supported on the host machine ... could lead to
+# execution errors such as SIGILL" and then delivers exactly that) — observed
+# three times in round 3, including with a cache written by THIS machine in the
+# same session.  TPU executables (bench.py via the axon backend) are unaffected
+# and keep their cache.

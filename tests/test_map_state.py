@@ -111,6 +111,9 @@ class TestFuseMerge:
             # point 0 owned by kf0 feature 2; point 1 owned by kf1 feature 3
             mp_pos=m.mp_pos.at[0].set(Xw).at[1].set(Xw + 0.01),
             mp_desc=m.mp_desc.at[0].set(packed).at[1].set(packed),
+            mp_desc_pm1=m.mp_desc_pm1.at[0].set(
+                orb.bits_to_pm1(desc_bits)[0]).at[1].set(
+                orb.bits_to_pm1(desc_bits)[0]),
             mp_valid=m.mp_valid.at[0].set(True).at[1].set(True),
             kf_mp=m.kf_mp.at[kf0, 2].set(0).at[kf1, 3].set(1),
             n_kf=jnp.int32(2),

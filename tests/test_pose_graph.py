@@ -130,10 +130,13 @@ class TestSpanningTree:
         edges = build_pose_graph_edges(
             cfg, poses, jnp.asarray(covis), jnp.asarray(bird), valid,
             no_loop, no_loop, jnp.zeros((0, 7)))
-        # first K-1 edges are the spanning tree (i = 1..K-1 -> parent)
-        tree_i = np.asarray(edges.i[: K - 1])
-        tree_j = np.asarray(edges.j[: K - 1])
-        tree = dict(zip(tree_i.tolist(), tree_j.tolist()))
+        # first K edges are the spanning tree (one per node; the root's edge is
+        # masked invalid — no earlier KF exists)
+        tree_i = np.asarray(edges.i[:K])
+        tree_j = np.asarray(edges.j[:K])
+        tree_v = np.asarray(edges.valid[:K])
+        assert not tree_v[0]
+        tree = {int(i): int(j) for i, j, v in zip(tree_i, tree_j, tree_v) if v}
         assert tree[3] == 1          # covisibility parent
         assert tree[2] == 0          # bird-covisibility repair
         assert tree[1] == 0          # nearest-earlier fallback

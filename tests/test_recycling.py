@@ -114,5 +114,89 @@ class TestSaturationRecovery:
         assert created > 0, "creation must continue after saturation"
 
 
+class TestKeyframeSlotRecycling:
+    """VERDICT round-2 missing #1: keyframe capacity must RECYCLE — culled
+    slots return to the free list, and nothing may assume slot order is
+    temporal order once they do."""
+
+    def _mk_map(self, n_kf):
+        rng = np.random.RandomState(1)
+        m = ms.empty_map(CFG)
+        empty_assoc = tr.TrackObs(
+            jnp.full(CFG.capacity.max_front_kp, -1, jnp.int32),
+            jnp.full(CFG.capacity.max_bird_kp, -1, jnp.int32))
+        for k in range(n_kf):
+            f = _tiny_frame(rng, CFG, n_valid_bird=8)
+            m = tr.insert_keyframe(m, f, empty_assoc, se3.identity(), CFG,
+                                   jnp.int32(k))
+        return m, rng, empty_assoc
+
+    def test_free_slot_recycles_culled_capacity(self):
+        m, rng, assoc = self._mk_map(6)
+        # manually cull KF 2 (mid-sequence)
+        m = m._replace(kf_valid=m.kf_valid.at[2].set(False),
+                       kf_seq=m.kf_seq.at[2].set(-1))
+        slot, ok, n_free = tr.free_kf_slot(m)
+        assert bool(ok) and int(slot) == 2
+        # inserting reuses slot 2 with a FRESH sequence number
+        f = _tiny_frame(rng, CFG, n_valid_bird=8)
+        m2 = tr.insert_keyframe(m, f, assoc, se3.identity(), CFG,
+                                jnp.int32(77), slot=slot)
+        assert bool(m2.kf_valid[2])
+        assert int(m2.kf_seq[2]) == 6          # seq keeps counting
+        assert int(m2.kf_counter) == 7
+        assert int(m2.kf_frame_id[2]) == 77
+        # association rows of the dead KF were reset before reuse
+        assert (np.asarray(m2.kf_mp[2]) == -1).all()
+
+    def test_odom_chain_orders_by_seq_not_slot(self):
+        m, rng, assoc = self._mk_map(5)
+        # cull slot 1, reinsert -> slot 1 now holds the NEWEST keyframe
+        m = m._replace(kf_valid=m.kf_valid.at[1].set(False),
+                       kf_seq=m.kf_seq.at[1].set(-1))
+        f = _tiny_frame(rng, CFG, n_valid_bird=8)
+        m = tr.insert_keyframe(m, f, assoc, se3.identity(), CFG, jnp.int32(50),
+                               slot=jnp.int32(1))
+        edges = tr.odom_chain_edges(m, CFG, m.kf_valid)
+        ei = np.asarray(edges.i)
+        ej = np.asarray(edges.j)
+        ev = np.asarray(edges.valid)
+        seq = np.asarray(m.kf_seq)
+        # every valid edge joins increasing-seq neighbors, and the edge into
+        # the recycled slot 1 comes FROM the last old KF (slot 4, seq 4)
+        for a, b in zip(ei[ev], ej[ev]):
+            assert seq[b] > seq[a]
+        chain_pairs = {(int(a), int(b)) for a, b, v in zip(ei[:7], ej[:7], ev[:7]) if v}
+        assert (4, 1) in chain_pairs, chain_pairs
+
+    def test_cull_protects_by_seq_and_reassigns_refs(self):
+        m, rng, assoc = self._mk_map(6)
+        # point 0 observed by KFs 2 and 3, ref = 2
+        m = m._replace(
+            mp_valid=m.mp_valid.at[0].set(True),
+            mp_ref_kf=m.mp_ref_kf.at[0].set(2),
+        )
+        m = ms.add_observation(m, jnp.array([0, 0]), jnp.array([2, 3]),
+                               jnp.array([0, 1]), jnp.ones(2, bool))
+        # force-cull KF 2 via the host path analog: invalidate + scrub
+        keep = m.kf_valid.at[2].set(False)
+        m = m._replace(kf_valid=keep, kf_seq=jnp.where(keep, m.kf_seq, -1),
+                       obs_valid=m.obs_valid & keep[m.obs_kf])
+        m = ms.reassign_orphan_refs(m)
+        # ref re-homed to the oldest surviving observer (KF 3)
+        assert int(m.mp_ref_kf[0]) == 3
+
+    def test_temporal_perm_sorts_valid_by_seq(self):
+        m, rng, assoc = self._mk_map(4)
+        m = m._replace(kf_valid=m.kf_valid.at[0].set(False),
+                       kf_seq=m.kf_seq.at[0].set(-1))
+        f = _tiny_frame(rng, CFG, n_valid_bird=8)
+        m = tr.insert_keyframe(m, f, assoc, se3.identity(), CFG, jnp.int32(9))
+        perm = np.asarray(ms.temporal_perm(m))
+        # valid KFs first, ordered by seq: slots 1,2,3 (seq 1,2,3), then slot 0
+        # (recycled, seq 4)
+        assert perm[:4].tolist() == [1, 2, 3, 0]
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])

@@ -17,9 +17,11 @@ BASE = SystemConfig().replace(capacity=CapacityConfig(
     max_keyframes=8, max_points=64, max_bird_points=32,
     max_obs_per_point=4, max_front_kp=32, max_bird_kp=32,
     max_local_kfs=4, max_local_points=32)).replace(
-    tracking=TrackingConfig(use_frustum_gates=False))
-# isolate the frustum gates: the octave window would also gate these synthetic
-# octave-0 features (their scale ranges imply a high predicted level)
+    tracking=TrackingConfig(use_frustum_gates=False, use_level_window=False))
+# BASE and GATED differ in EXACTLY one flag (use_frustum_gates) so the
+# comparison is a single-variable delta; the octave window stays off in both —
+# it would also gate these synthetic octave-0 features (their scale ranges
+# imply a high predicted level) and confound the frustum-gate assertions
 GATED = BASE.replace(tracking=TrackingConfig(use_frustum_gates=True,
                                              use_level_window=False))
 
@@ -38,6 +40,8 @@ def make_frame_and_map(point_dists, min_dists, max_dists, normals=None, seed=0):
     m = m._replace(
         mp_pos=m.mp_pos.at[:n].set(jnp.asarray(Xw, jnp.float32)),
         mp_desc=m.mp_desc.at[:n].set(jnp.asarray(desc)),
+        mp_desc_pm1=m.mp_desc_pm1.at[:n].set(
+            pm1_from_packed(jnp.asarray(desc))),
         mp_valid=m.mp_valid.at[:n].set(True),
         mp_min_dist=m.mp_min_dist.at[:n].set(jnp.asarray(min_dists, jnp.float32)),
         mp_max_dist=m.mp_max_dist.at[:n].set(jnp.asarray(max_dists, jnp.float32)),
