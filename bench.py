@@ -1,12 +1,14 @@
 """Benchmark: tracked frames/s per chip on the device JAX selects (real TPU under
 the driver; CPU if forced).
 
-Measures the fused per-frame tracking compute — dual-view ORB extraction (2000 +
-2000 features, 8-level pyramid), fisheye undistortion, map-point matching
-(2048x16384 masked Hamming via MXU matmul), bird-point matching, and the 4x10 LM
-pose optimization — as one jitted device program, the same work the reference
-does per frame in ``Tracking::GrabImageMonocularWithOdom`` (SURVEY.md §3.2 hot
-loops 1-3).
+Measures the REAL per-frame device program the system dispatches for every OK
+frame: dual-view ORB extraction (8-level pyramid, fisheye undistortion) via
+``build_frame`` plus the ENTIRE fused tracking core ``track_frame_core``
+(dual-radius motion-model match vs a 16384-point map, bird-point match,
+per-frame bird landmark maintenance, two 4x10 LM pose optimizations, local-map
+stage, keyframe-policy counters) — the same work the reference does per frame
+in ``Tracking::GrabImageMonocularWithOdom`` (SURVEY.md §3.2 hot loops 1-3).
+Round 2's bench used a simplified stand-in step; this is the production one.
 
 Baseline: the reference paces to its camera's 25 fps and claims real-time
 (``fisheye.yaml:19``, ``README.md:11``; no published numbers — BASELINE.md).
@@ -29,125 +31,84 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from fishbirdeyevisualslam_tpu.config import SystemConfig
-    from fishbirdeyevisualslam_tpu.geometry import se3, camera as cam_ops
-    from fishbirdeyevisualslam_tpu.ops import features, matcher
-    from fishbirdeyevisualslam_tpu.slam.frame import desc_pm1_from_packed
-    from fishbirdeyevisualslam_tpu.solvers.pose_opt import (
-        FrontObs, BirdObs, pose_optimization,
-    )
+    from fishbirdeyevisualslam_tpu.geometry import se3
+    from fishbirdeyevisualslam_tpu.slam import map_state as ms, tracking as tr
+    from fishbirdeyevisualslam_tpu.slam.frame import build_frame
 
     cfg = SystemConfig()
-    cam = cfg.camera
+    cap = cfg.capacity
     rng = np.random.RandomState(0)
 
-    # synthetic inputs shaped like the real pipeline
+    # populated map at full default capacities (the steady-state working set)
+    m = ms.empty_map(cfg)
+    P, PB = cap.max_points, cap.max_bird_points
+    K = min(cap.max_keyframes, 32)
+    m = m._replace(
+        mp_pos=jnp.asarray(np.stack([
+            rng.uniform(-10, 10, P), rng.uniform(-5, 5, P), rng.uniform(5, 40, P)
+        ], -1).astype(np.float32)),
+        mp_desc=jnp.asarray(rng.randint(0, 2**32, (P, 8), dtype=np.uint64).astype(np.uint32)),
+        mp_desc_pm1=jnp.asarray(rng.choice([-1.0, 1.0], (P, 256)).astype(np.float32), jnp.bfloat16),
+        mp_valid=jnp.ones((P,), bool),
+        mp_max_dist=jnp.full((P,), 60.0),
+        mp_min_dist=jnp.full((P,), 1.0),
+        bp_pos=jnp.asarray(np.stack([
+            rng.uniform(2, 12, PB), rng.uniform(-6, 6, PB), np.zeros(PB)
+        ], -1).astype(np.float32)),
+        bp_desc=jnp.asarray(rng.randint(0, 2**32, (PB, 8), dtype=np.uint64).astype(np.uint32)),
+        bp_desc_pm1=jnp.asarray(rng.choice([-1.0, 1.0], (PB, 256)).astype(np.float32), jnp.bfloat16),
+        bp_valid=jnp.ones((PB,), bool),
+        kf_valid=m.kf_valid.at[:K].set(True),
+        kf_seq=m.kf_seq.at[:K].set(jnp.arange(K)),
+        n_kf=jnp.int32(K), kf_counter=jnp.int32(K),
+        obs_kf=m.obs_kf.at[:, 0].set(jnp.arange(P, dtype=jnp.int32) % K),
+        obs_valid=m.obs_valid.at[:, 0].set(True),
+    )
+
+    cam = cfg.camera
     front_img = jnp.asarray(rng.rand(cam.height, cam.width).astype(np.float32) * 255)
     bird_img = jnp.asarray(rng.rand(cfg.bird.rows, cfg.bird.cols).astype(np.float32) * 255)
-    P = 16384
-    map_desc = jnp.asarray(
-        rng.randint(0, 2**32, (P, 8), dtype=np.uint64).astype(np.uint32))
-    map_pos = jnp.asarray(np.stack([
-        rng.uniform(-10, 10, P), rng.uniform(-5, 5, P), rng.uniform(5, 40, P)
-    ], -1).astype(np.float32))
-    map_valid = jnp.ones((P,), bool)
-    PB = 4096
-    bp_pos = jnp.asarray(np.stack([
-        rng.uniform(2, 12, PB), rng.uniform(-6, 6, PB), np.zeros(PB)
-    ], -1).astype(np.float32))
-    bp_desc = jnp.asarray(
-        rng.randint(0, 2**32, (PB, 8), dtype=np.uint64).astype(np.uint32))
-    lut = jnp.asarray(cfg.orb.inv_level_sigma2())
-
-    nf = cfg.orb.n_features
-    # unpacked +/-1 map descriptors are frame-invariant: compute once, keep on
-    # device (the map store caches them between frames in a real deployment)
-    map_pm1 = desc_pm1_from_packed(map_desc)
-    bp_pm1 = desc_pm1_from_packed(bp_desc)
-
-    def tracking_step(front_img, bird_img, Tcw_pred, map_pos, map_pm1, bp_pos, bp_pm1):
-        # dual-view extraction
-        kp = features._extract_impl(front_img, cfg.orb, nf)
-        uv = cam_ops.undistort_fisheye(cam, kp.xy)
-        bkp = features._extract_impl(bird_img, cfg.orb, nf)
-        from fishbirdeyevisualslam_tpu.geometry import ipm
-        bird_cam = ipm.bird_pixel_to_cam_xyz(cfg.bird, cfg.extrinsics, bkp.xy)
-        # project map + masked matching (front)
-        pc = se3.transform(Tcw_pred, map_pos)
-        uv_proj = cam_ops.project_pinhole(cam, pc)
-        vis = (pc[:, 2] > 0.1) & (uv_proj[:, 0] >= 0) & (uv_proj[:, 0] < cam.width) \
-            & (uv_proj[:, 1] >= 0) & (uv_proj[:, 1] < cam.height)
-        import os
-        fused_on = (jax.default_backend() == "tpu"
-                    and cfg.tracking.use_fused_matcher
-                    and os.environ.get("FBEV_FUSED_MATCH", "1") != "0")
-        if fused_on:
-            # production path: fused MXU match, distance matrix stays in VMEM
-            from fishbirdeyevisualslam_tpu.ops.pallas_matcher import (
-                fused_projection_match,
-            )
-            res = fused_projection_match(
-                kp.desc_pm1, uv, kp.level, kp.valid,
-                map_pm1, uv_proj, jnp.float32(15.0),
-                jnp.zeros((P,), jnp.float32), vis,
-                max_dist=float(cfg.matcher.th_high))
-            bres = fused_projection_match(
-                bkp.desc_pm1, bkp.xy, bkp.level, bkp.valid,
-                bp_pm1, jnp.zeros((PB, 2), jnp.float32),
-                jnp.float32(1e6), jnp.zeros((PB,), jnp.float32),
-                jnp.ones((PB,), bool),
-                max_dist=float(cfg.matcher.th_high))
-            res = matcher.resolve_duplicates(res, P)
-            pcb = se3.transform(Tcw_pred, bp_pos)
-        else:
-            compat = matcher.window_mask(uv, uv_proj, 15.0) & kp.valid[:, None] & vis[None, :]
-            res = matcher.match(kp.desc_pm1, map_pm1, compat,
-                                max_dist=float(cfg.matcher.th_high))
-            res = matcher.resolve_duplicates(res, P)
-            # bird matching
-            pcb = se3.transform(Tcw_pred, bp_pos)
-            bres = matcher.match(bkp.desc_pm1, bp_pm1,
-                                 bkp.valid[:, None] & jnp.ones((1, PB), bool),
-                                 max_dist=float(cfg.matcher.th_high))
-        # pose optimization
-        pid = jnp.clip(res.idx, 0, P - 1)
-        front = FrontObs(Xw=map_pos[pid], uv=uv,
-                         inv_sigma2=lut[jnp.clip(kp.level, 0, 7)],
-                         valid=res.ok)
-        bid = jnp.clip(bres.idx, 0, PB - 1)
-        bird = BirdObs(Xw=bp_pos[bid], Xc=bird_cam,
-                       inv_sigma2=lut[jnp.clip(bkp.level, 0, 7)],
-                       valid=bres.ok)
-        out = pose_optimization(cam, cfg.ba, Tcw_pred, front, bird)
-        return out.Tcw, out.n_inliers
-
-    step = jax.jit(tracking_step)
+    bmask = jnp.ones((cfg.bird.rows, cfg.bird.cols), jnp.float32) * 255
+    f0 = build_frame(front_img, bird_img, bmask, jnp.zeros(3), jnp.asarray(0.0),
+                     cfg, cap.max_front_kp, None, cap.max_bird_kp)
+    f_last = f0._replace(odom=jnp.asarray([-0.3, 0.0, 0.0]))
+    last_bp = jnp.full((cap.max_bird_kp,), -1, jnp.int32)
+    cand = jnp.ones((P,), bool)
     Tcw = se3.identity()
 
-    # warmup / compile
-    Tcw_out, n_in = step(front_img, bird_img, Tcw, map_pos, map_pm1, bp_pos, bp_pm1)
-    Tcw_out.block_until_ready()
+    step = jax.jit(tr.track_frame_core, static_argnums=(2,))
 
-    # pipelined throughput: stream N frames through the tracking step inside one
-    # device program (host out of the loop — per-call dispatch latency through
-    # the test harness tunnel is NOT chip work and would otherwise dominate)
+    # the REAL per-frame device work, streamed with the host out of the loop:
+    # dual-view ORB extraction + undistort (build_frame) and the whole fused
+    # tracking core (motion-model dual-radius match, bird map match, per-frame
+    # bird maintenance, two pose optimizations, local-map stage, policy
+    # counters) — what SlamSystem.track dispatches for every OK frame
     n_stream = 32
 
     @jax.jit
     def stream(front_img, bird_img, Tcw0):
         def body(carry, i):
             T = carry
-            T_new, n = step(front_img + i.astype(jnp.float32), bird_img,
-                            T, map_pos, map_pm1, bp_pos, bp_pm1)
-            return T_new, n
+            f = build_frame(front_img + i.astype(jnp.float32), bird_img, bmask,
+                            jnp.zeros(3), i.astype(jnp.float32), cfg,
+                            cap.max_front_kp, None, cap.max_bird_kp)
+            out = step(m, f, cfg, T, cand, jnp.int32(0),
+                       tr.bird_only_view(f_last), last_bp, T, jnp.asarray(True))
+            return out.Tcw, out.scalars
         T_final, ns = jax.lax.scan(body, Tcw0, jnp.arange(n_stream))
         return T_final, ns
 
     out = stream(front_img, bird_img, Tcw)
     out[0].block_until_ready()
     n_rep = 3
+    # vary the seed pose per repetition: identical-input executions can be
+    # deduped by the experimental tunnel backend (observed fantasy timings in
+    # round 3) — each rep must be genuinely distinct work
+    seeds = [jnp.asarray(np.asarray(Tcw) + np.array(
+        [0, 0, 0, 0, 1e-4 * (r + 1), 0, 0], np.float32)) for r in range(n_rep)]
     t0 = time.perf_counter()
-    for _ in range(n_rep):
-        out = stream(front_img, bird_img, Tcw)
+    for r in range(n_rep):
+        out = stream(front_img, bird_img, seeds[r])
     out[0].block_until_ready()
     dt = (time.perf_counter() - t0) / (n_rep * n_stream)
     fps = 1.0 / dt

@@ -55,25 +55,38 @@ mask = jnp.ones((cfg.bird.rows, cfg.bird.cols), jnp.float32) * 255
 
 f = build_frame(front, bird, mask, jnp.zeros(3), jnp.asarray(0.0), cfg,
                 cap.max_front_kp, None, cap.max_bird_kp)
+f_last = f._replace(odom=jnp.asarray([-0.3, 0.0, 0.0]))
+last_bp = jnp.full((cap.max_bird_kp,), -1, jnp.int32)
 Tcw = se3.identity()
 cand = jnp.ones((P,), bool)
 
 step = jax.jit(tr.track_frame_core, static_argnums=(2,))
 
 
+def full_step(m, f, Tcw, cand):
+    """The REAL per-frame program as the system drives it: ref-KF policy
+    scalars + per-frame bird maintenance included."""
+    return step(m, f, cfg, Tcw, cand, jnp.int32(0),
+                tr.bird_only_view(f_last), last_bp, Tcw, jnp.asarray(True))
+
+
 def timeit(label, fn, *args, reps=20):
+    # vary the pose per repetition (identical-input executions can be deduped
+    # by the experimental tunnel backend, see the scanned-stream note below)
     out = fn(*args)
     jax.block_until_ready(out)
+    poses = [jnp.asarray(np.asarray(args[-2]) + np.array(
+        [0, 0, 0, 0, 1e-4 * (r + 1), 0, 0], np.float32)) for r in range(reps)]
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
+    for r in range(reps):
+        out = fn(*args[:-2], poses[r], args[-1])
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
     print(f"{label}: {dt * 1e3:.3f} ms", flush=True)
     return dt
 
 
-t_core = timeit("track_frame_core (dispatch each call)", step, m, f, cfg, Tcw, cand)
+t_core = timeit("track_frame_core (dispatch each call)", full_step, m, f, Tcw, cand)
 
 # scanned stream (host out of the loop) — chip-work-only number
 N = 16
@@ -81,23 +94,29 @@ N = 16
 @jax.jit
 def stream(m, f, Tcw):
     def body(c, i):
-        out = step(m, f._replace(timestamp=f.timestamp + i), cfg, c, cand)
+        out = full_step(m, f._replace(timestamp=f.timestamp + i), c, cand)
         return out.Tcw, out.scalars
     T, s = jax.lax.scan(body, Tcw, jnp.arange(N, dtype=jnp.float32))
     return T, s
 
 out = stream(m, f, Tcw)
 jax.block_until_ready(out)
+# vary the seed pose per repetition: the axon tunnel backend can DEDUPE
+# byte-identical executions, reporting fantasy sub-µs timings (observed
+# 0.01 ms/frame for a 2 ms program) — varied inputs defeat any such layer
+reps = 5
+seeds = [jnp.asarray(np.asarray(Tcw) + np.array([0, 0, 0, 0, 1e-4 * (r + 1), 0, 0],
+                                                np.float32)) for r in range(reps)]
 t0 = time.perf_counter()
-for _ in range(3):
-    out = stream(m, f, Tcw)
+for r in range(reps):
+    out = stream(m, f, seeds[r])
 jax.block_until_ready(out)
-dt = (time.perf_counter() - t0) / (3 * N)
+dt = (time.perf_counter() - t0) / (reps * N)
 print(f"track_frame_core (scanned stream): {dt * 1e3:.3f} ms -> {1/dt:.1f} fps", flush=True)
 
 if os.environ.get("FBEV_TRACE"):
     with jax.profiler.trace("/tmp/fbev_trace"):
         for _ in range(5):
-            out = step(m, f, cfg, Tcw, cand)
+            out = full_step(m, f, Tcw, cand)
         jax.block_until_ready(out)
     print("trace written to /tmp/fbev_trace", flush=True)
