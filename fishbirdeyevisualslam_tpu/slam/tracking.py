@@ -54,11 +54,14 @@ LOST = 2
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def match_for_init(f1: Frame, f2: Frame, cfg: SystemConfig) -> matcher.MatchResult:
-    """``SearchForInitialization`` (``ORBmatcher.cc:406``): window 100 px, level-0
-    only in the reference; we match across all levels with ratio 0.9 + rotation
-    consistency + one-to-one."""
+    """``SearchForInitialization`` (``ORBmatcher.cc:406``): window 100 px,
+    ratio 0.9 + rotation consistency + one-to-one.  The reference matches
+    level-0 keypoints only; the default searches all levels (more init support
+    on low-texture renders) unless ``init_level0_only`` pins parity."""
     compat = matcher.window_mask(f1.uv_raw, f2.uv_raw, 100.0)
     compat = compat & f1.kp_valid[:, None] & f2.kp_valid[None, :]
+    if cfg.tracking.init_level0_only:
+        compat = compat & (f1.octave == 0)[:, None] & (f2.octave == 0)[None, :]
     res = matcher.match(
         f1.desc_pm1, f2.desc_pm1, compat,
         max_dist=float(cfg.matcher.th_low),
