@@ -204,8 +204,10 @@ class CapacityConfig:
     max_obs_per_point: int = 16
     max_front_kp: int = 2048          # per-frame front keypoints (pad of n_features)
     max_bird_kp: int = 2048
-    max_local_kfs: int = 32           # local BA window
-    max_local_points: int = 4096
+    max_local_kfs: int = 32           # local BA window (optimized KFs)
+    max_local_observers: int = 32     # fixed observer KFs kept in local BA
+    max_local_points: int = 4096      # front landmarks in the local BA problem
+    max_local_bird_points: int = 2048
 
 
 @dataclasses.dataclass(frozen=True)

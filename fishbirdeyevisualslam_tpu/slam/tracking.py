@@ -957,65 +957,122 @@ def triangulate_new_points(
 def local_ba(m: ms.MapState, cfg: SystemConfig, center_kf) -> ms.MapState:
     """``LocalBundleAdjustmentWithOdom`` (``Optimizer.cc:2137-2495``) over the
     covisibility window of ``center_kf``: window KFs optimized (isInit fixed),
-    other observers fixed, front + bird + odometry chain/skip factors."""
+    other observers fixed, front + bird + odometry chain/skip factors.
+
+    The problem is COMPACTED to the local window before the solver runs —
+    max_local_kfs optimized + max_local_observers fixed KF slots,
+    max_local_points / max_local_bird_points landmark blocks — exactly the
+    problem size the reference's g2o graph has.  Running the solver at FULL
+    map capacity (K=256, P=16384) cost ~7.5 s/BA on-chip because the
+    (K, K, 36) reduced-system scatter-assembly dominates; the compact problem
+    is ~16x less scatter and 64x less reduced system, per KEYFRAME."""
     cap = cfg.capacity
     K = m.K
     C = ms.covisibility_counts(m)
     w = jnp.where(m.kf_valid, C[center_kf], -1)
     w = w.at[center_kf].set(jnp.iinfo(jnp.int32).max)
     # top local KFs by covisibility (always includes center)
-    _, local_idx = jax.lax.top_k(w, min(cap.max_local_kfs, K))
+    L = min(cap.max_local_kfs, K)
+    _, local_idx = jax.lax.top_k(w, L)
     is_local = jnp.zeros((K,), bool).at[local_idx].set(True) & m.kf_valid & (w[jnp.arange(K)] > 0)
     is_local = is_local.at[center_kf].set(True)
 
     # points seen by local KFs
-    pt_in = jnp.any(is_local[m.obs_kf] & m.obs_valid, axis=1) & m.mp_valid
-    bpt_in = jnp.any(is_local[m.bobs_kf] & m.bobs_valid, axis=1) & m.bp_valid
+    pt_in = jnp.any(_mask_lookup(is_local, m.obs_kf) & m.obs_valid, axis=1) \
+        & m.mp_valid
+    bpt_in = jnp.any(_mask_lookup(is_local, m.bobs_kf) & m.bobs_valid, axis=1) \
+        & m.bp_valid
 
     # fixed KFs: observers of those points that are not local, plus isInit
     obs_cnt = jnp.zeros((K,), jnp.int32).at[m.obs_kf].add(
         (m.obs_valid & pt_in[:, None]).astype(jnp.int32))
-    observer = obs_cnt > 0
-    fixed = (observer & ~is_local) | (is_local & m.kf_is_init) | ~m.kf_valid
-    active = is_local | observer
+    observer = (obs_cnt > 0) & m.kf_valid
+    fixed_full = (observer & ~is_local) | (is_local & m.kf_is_init)
 
+    # ---- compact KF slot space: L locals + O strongest observers + 1 dummy
+    O = min(cap.max_local_observers, K)
+    LC = L + O
+    obs_rank = jnp.where(observer & ~is_local, obs_cnt, -1)
+    _, obs_idx = jax.lax.top_k(obs_rank, O)
+    sel = jnp.concatenate([local_idx.astype(jnp.int32),
+                           obs_idx.astype(jnp.int32)])      # (LC,)
+    sel_ok = jnp.concatenate([is_local[local_idx], obs_rank[obs_idx] > 0])
+    # not-ok rows (top_k padding carries ARBITRARY slot ids) dump to a spare
+    # row K so they can never clobber a genuinely selected slot's mapping
+    inv = jnp.full((K + 1,), LC, jnp.int32).at[
+        jnp.where(sel_ok, sel, K)].set(
+        jnp.where(sel_ok, jnp.arange(LC, dtype=jnp.int32), LC))[:K]
+    poses_c = jnp.concatenate([m.kf_Tcw[sel], se3.identity()[None]], axis=0)
+    fixed_c = jnp.concatenate([fixed_full[sel] | ~sel_ok,
+                               jnp.ones((1,), bool)])
+
+    # ---- compact landmark blocks
+    PL = min(cap.max_local_points, m.mp_pos.shape[0])
+    psel = jnp.nonzero(pt_in, size=PL, fill_value=m.mp_pos.shape[0] - 1)[0]
+    pval = pt_in[psel]
     lut = inv_level_sigma2_lut(cfg)
-    # front blocks: gather uv / sigma per (kf, feat) observation pair
-    oct_f = m.kf_octave[m.obs_kf, m.obs_feat]          # (P, M)
-    uv = m.kf_uv[m.obs_kf, m.obs_feat]                 # (P, M, 2)
+    okf = m.obs_kf[psel]                               # (PL, M)
+    ofeat = m.obs_feat[psel]
+    kf_idx_c = inv[okf]                                # (PL, M) compact ids
+    valid_c = m.obs_valid[psel] & (kf_idx_c < LC)
+    oct_f = m.kf_octave[okf, ofeat]
     front = PointBlocks(
-        Xw=m.mp_pos,
-        kf_idx=m.obs_kf,
-        meas=uv,
+        Xw=m.mp_pos[psel],
+        kf_idx=jnp.clip(kf_idx_c, 0, LC),
+        meas=m.kf_uv[okf, ofeat],
         inv_sigma2=lut[jnp.clip(oct_f, 0, lut.shape[0] - 1)],
-        valid=m.obs_valid & active[m.obs_kf],
-        point_valid=pt_in,
+        valid=valid_c,
+        point_valid=pval,
     )
-    oct_b = m.kf_bird_octave[m.bobs_kf, m.bobs_feat]   # (PB, MB)
-    xc = m.kf_bird_cam[m.bobs_kf, m.bobs_feat]         # (PB, MB, 3)
+    PBL = min(cap.max_local_bird_points, m.bp_pos.shape[0])
+    bsel = jnp.nonzero(bpt_in, size=PBL, fill_value=m.bp_pos.shape[0] - 1)[0]
+    bval = bpt_in[bsel]
+    bokf = m.bobs_kf[bsel]
+    bofeat = m.bobs_feat[bsel]
+    bkf_idx_c = inv[bokf]
+    bvalid_c = m.bobs_valid[bsel] & (bkf_idx_c < LC)
+    oct_b = m.kf_bird_octave[bokf, bofeat]
     bird = PointBlocks(
-        Xw=m.bp_pos,
-        kf_idx=m.bobs_kf,
-        meas=xc,
+        Xw=m.bp_pos[bsel],
+        kf_idx=jnp.clip(bkf_idx_c, 0, LC),
+        meas=m.kf_bird_cam[bokf, bofeat],
         inv_sigma2=lut[jnp.clip(oct_b, 0, lut.shape[0] - 1)],
-        valid=m.bobs_valid & active[m.bobs_kf],
-        point_valid=bpt_in,
+        valid=bvalid_c,
+        point_valid=bval,
     )
 
     # odometry edges between TEMPORALLY consecutive local KFs (chain + skip1 +
-    # skip2, ``Optimizer.cc:2419-2495``).  Ordering goes through kf_seq — with
-    # slot recycling, slot adjacency is meaningless (VERDICT round-2 next #1).
-    odom_edges = odom_chain_edges(m, cfg, is_local)
+    # skip2, ``Optimizer.cc:2419-2495``), remapped into the compact space.
+    # Ordering goes through kf_seq — slot adjacency is meaningless once slots
+    # recycle (VERDICT round-2 next #1).
+    oe = odom_chain_edges(m, cfg, is_local)
+    ei_c = inv[oe.i]
+    ej_c = inv[oe.j]
+    odom_edges = OdomEdges(
+        jnp.clip(ei_c, 0, LC), jnp.clip(ej_c, 0, LC), oe.T_meas, oe.info,
+        oe.valid & (ei_c < LC) & (ej_c < LC))
 
-    out = bundle_adjust(cfg.camera, cfg.ba, m.kf_Tcw, fixed, front, bird,
+    out = bundle_adjust(cfg.camera, cfg.ba, poses_c, fixed_c, front, bird,
                         odom_edges)
-    # write back; drop observations classified as outliers
+    # ---- scatter results back (dummy row LC dropped; unselected untouched)
+    upd_kf = sel_ok & ~fixed_full[sel]
+    kf_Tcw = m.kf_Tcw.at[jnp.where(upd_kf, sel, K - 1)].set(
+        jnp.where(upd_kf[:, None], out.poses[:LC], m.kf_Tcw[jnp.where(upd_kf, sel, K - 1)]))
+    P_all = m.mp_pos.shape[0]
+    PB_all = m.bp_pos.shape[0]
+    mp_pos = m.mp_pos.at[jnp.where(pval, psel, P_all - 1)].set(
+        jnp.where(pval[:, None], out.front_Xw,
+                  m.mp_pos[jnp.where(pval, psel, P_all - 1)]))
+    bp_pos = m.bp_pos.at[jnp.where(bval, bsel, PB_all - 1)].set(
+        jnp.where(bval[:, None], out.bird_Xw,
+                  m.bp_pos[jnp.where(bval, bsel, PB_all - 1)]))
+    obs_valid = m.obs_valid.at[psel].set(
+        jnp.where(valid_c, out.front_inlier, m.obs_valid[psel]))
+    bobs_valid = m.bobs_valid.at[bsel].set(
+        jnp.where(bvalid_c, out.bird_inlier, m.bobs_valid[bsel]))
     return m._replace(
-        kf_Tcw=out.poses,
-        mp_pos=jnp.where(pt_in[:, None], out.front_Xw, m.mp_pos),
-        bp_pos=jnp.where(bpt_in[:, None], out.bird_Xw, m.bp_pos),
-        obs_valid=jnp.where(front.valid, out.front_inlier, m.obs_valid),
-        bobs_valid=jnp.where(bird.valid, out.bird_inlier, m.bobs_valid),
+        kf_Tcw=kf_Tcw, mp_pos=mp_pos, bp_pos=bp_pos,
+        obs_valid=obs_valid, bobs_valid=bobs_valid,
     )
 
 
