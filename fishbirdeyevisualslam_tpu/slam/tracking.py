@@ -1156,7 +1156,14 @@ def _top_covis_neighbors(m: ms.MapState, new_kf, n_neighbors: int):
     K = m.K
     C = ms.covisibility_counts(m)
     w = jnp.where(m.kf_valid & (jnp.arange(K) != new_kf), C[new_kf], -1)
-    ww, nb = jax.lax.top_k(w, n_neighbors)
+    # clamp: small-capacity configs (max_keyframes < mapping_neighbors) must not
+    # request more neighbors than keyframe slots exist (top_k k<=K constraint)
+    k = min(n_neighbors, K)
+    ww, nb = jax.lax.top_k(w, k)
+    if k < n_neighbors:
+        pad = n_neighbors - k
+        nb = jnp.concatenate([nb, jnp.zeros((pad,), nb.dtype)])
+        ww = jnp.concatenate([ww, jnp.full((pad,), -1, ww.dtype)])
     return nb.astype(jnp.int32), ww > 0
 
 
