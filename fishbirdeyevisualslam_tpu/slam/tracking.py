@@ -585,6 +585,49 @@ def bird_frame_maintenance(m: ms.MapState, f: Frame, cfg: SystemConfig,
     return m, bp_idx
 
 
+@jax.jit
+def replay_bird_points(m: ms.MapState, live: ms.MapState, born):
+    """Re-insert frame-born bird points created by tracking while an async
+    mapping job ran on a snapshot (the reference keeps every-frame
+    ``FilterBirdOutlier`` landmarks regardless of LocalMapping's state,
+    ``Tracking.cc:1684-1823``).
+
+    ``m`` is the worker's merged result, ``live`` the tracking-side map at
+    merge time, ``born`` (PB,) the live slots allocated since the snapshot.
+    The mapping worker never ALLOCATES bird slots (it only frees them via
+    window culling), so ``born`` is exactly the tracking-side creations; they
+    are re-allocated into free slots of the merged map and their fields copied
+    from the live map.
+
+    Returns (map, remap (PB,) int32): live slot -> merged slot for born points,
+    identity for slots valid on both sides, -1 where the point no longer
+    exists (worker-culled, or replay slot-starved)."""
+    PB = m.bp_pos.shape[0]
+    idx = jnp.arange(PB, dtype=jnp.int32)
+    keep = live.bp_valid & ~born & m.bp_valid
+    dest, can = ms.alloc_slots(m.bp_valid, born)
+    remap = jnp.where(born, jnp.where(can, dest, -1),
+                      jnp.where(keep, idx, -1))
+    m = ms.reset_bird_slots(m, dest, can)
+    m = m._replace(
+        bp_pos=m.bp_pos.at[dest].set(
+            jnp.where(can[:, None], live.bp_pos, m.bp_pos[dest])),
+        bp_desc=m.bp_desc.at[dest].set(
+            jnp.where(can[:, None], live.bp_desc, m.bp_desc[dest])),
+        bp_desc_pm1=m.bp_desc_pm1.at[dest].set(
+            jnp.where(can[:, None], live.bp_desc_pm1, m.bp_desc_pm1[dest])),
+        bp_valid=m.bp_valid.at[dest].set(
+            jnp.where(can, True, m.bp_valid[dest])),
+        bp_ref_kf=m.bp_ref_kf.at[dest].set(
+            jnp.where(can, live.bp_ref_kf, m.bp_ref_kf[dest])),
+        bp_birth=m.bp_birth.at[dest].set(
+            jnp.where(can, live.bp_birth, m.bp_birth[dest])),
+        n_bp=m.n_bp + jnp.sum(can.astype(jnp.int32)),
+    )
+    n_dropped = jnp.sum((born & ~can).astype(jnp.int32))
+    return m, remap, n_dropped
+
+
 class TrackCoreOut(NamedTuple):
     """One-fetch output of the fused per-frame tracking core."""
 

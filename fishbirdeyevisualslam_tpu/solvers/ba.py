@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from fishbirdeyevisualslam_tpu.config import BAConfig, CameraConfig
 from fishbirdeyevisualslam_tpu.geometry import se3
 from fishbirdeyevisualslam_tpu.solvers import residuals as res
+from fishbirdeyevisualslam_tpu.solvers.linalg import inv3 as _inv3
 
 
 class PointBlocks(NamedTuple):
@@ -92,6 +93,29 @@ def _depth_mask(cam, poses, blocks: PointBlocks):
     return p[..., 2] > 0
 
 
+def _family_chi2(cam: Optional[CameraConfig], poses, blocks: PointBlocks,
+                 weight, is_front: bool):
+    """Residual-only chi2 (+ positive-depth mask) — skips every Jacobian the
+    LM accept/reject and the outlier re-gate never read.  Returns
+    (chi2 (P,M), depth_ok (P,M))."""
+    T = poses[blocks.kf_idx]
+    if is_front:
+        e, p = res.front_error(cam, T, blocks.Xw[:, None, :], blocks.meas)
+    else:
+        e, p = res.bird_error(T, blocks.Xw[:, None, :], blocks.meas)
+    chi2 = jnp.sum(e * e, axis=-1) * (blocks.inv_sigma2 * weight)
+    return chi2, p[..., 2] > 0
+
+
+def _odom_chi2(poses, edges: OdomEdges, w_scale):
+    """Residual-only odometry chi2, masked by edge validity (invalid / padding
+    edges must not steer the LM accept decision)."""
+    e = se3.relative_error(edges.T_meas, poses[edges.i], poses[edges.j])
+    return jnp.sum(e * e, axis=-1) * edges.info * edges.valid * w_scale
+
+
+
+
 class _System(NamedTuple):
     Hcc: jnp.ndarray  # (K, K, 6, 6) reduced camera Hessian (block form)
     bc: jnp.ndarray   # (K, 6) reduced camera gradient (solve Hcc dx = bc)
@@ -100,15 +124,67 @@ class _System(NamedTuple):
     Hcp: jnp.ndarray  # per-family retained for back-substitution
 
 
+def _assemble_camera_system(K, kf_idx, Hc_diag, bc_pm, T, Hcp):
+    """Matmul (one-hot segment) assembly of the reduced camera system.
+
+    Replaces TPU scatter-adds, which dominated BA on-chip (~7.5 s per global
+    BA at K=256, nearly independent of landmark count — the scatter engine,
+    not the FLOPs, was the bottleneck; STATUS r3).  The trick is the same
+    one-hot contraction already used for ``bird_local_mask``: with
+    O[p,m,k] = [kf_idx[p,m] == k],
+
+      diag[k]      = sum_{p,m} O[p,m,k] * Hc_diag[p,m]          (matmul)
+      bc[k]        = sum_{p,m} O[p,m,k] * bc_pm[p,m]            (matmul)
+      pair[k,l]    = sum_p U_p[k] @ V_p[l]^T,  U = O^T T, V = O^T Hcp
+
+    The pair term becomes one (K*6, C*3) x (C*3, K*6) MXU matmul per point
+    chunk.  Chunked over points (C=1024) to bound the dense (C,K,18)
+    one-hot-expanded intermediates to ~18 MB each.
+
+    ``Hc_diag`` (P,M,36) flat camera diag blocks, ``bc_pm`` (P,M,6) gradient
+    terms, ``T = Hcp Hpp^-1`` (P,M,6,3), ``Hcp`` (P,M,6,3).  Camera blocks
+    stay FLAT (...,36) — a (...,6,6) trailing pair pads to the (8,128) tile,
+    a 28x memory expansion."""
+    P, M = kf_idx.shape
+    C = min(P, 4096)
+    pad = (-P) % C
+    if pad:
+        def _pad(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+        kf_idx, Hc_diag, bc_pm, T, Hcp = (
+            _pad(kf_idx), _pad(Hc_diag), _pad(bc_pm), _pad(T), _pad(Hcp))
+    nc = (P + pad) // C
+    xs = (kf_idx.reshape(nc, C, M),
+          Hc_diag.reshape(nc, C, M, 36),
+          bc_pm.reshape(nc, C, M, 6),
+          T.reshape(nc, C, M, 6, 3),
+          Hcp.reshape(nc, C, M, 6, 3))
+
+    def body(carry, xs):
+        pair, diag, bc = carry
+        kf, Hd, bcm, Tm, Hp = xs
+        O = (kf[..., None] == jnp.arange(K)).astype(jnp.float32)  # (C,M,K)
+        diag = diag + jnp.einsum("cmk,cmx->kx", O, Hd)
+        bc = bc + jnp.einsum("cmk,cmx->kx", O, bcm)
+        # emit U/V in (C, K*6, 3) and contract (chunk, coord) in ONE
+        # dot_general — the explicit (C,K,6,3)->(K,6,C,3) transposes cost 2x
+        # the GEMM itself in HBM copies (profiled r4)
+        U = jnp.einsum("cmk,cmax->ckax", O, Tm).reshape(C, K * 6, 3)
+        V = jnp.einsum("cmk,cmax->ckax", O, Hp).reshape(C, K * 6, 3)
+        pair = pair + jax.lax.dot_general(U, V, (((0, 2), (0, 2)), ((), ())))
+        return (pair, diag, bc), None
+
+    init = (jnp.zeros((K * 6, K * 6)), jnp.zeros((K, 36)), jnp.zeros((K, 6)))
+    (pair, diag, bc), _ = jax.lax.scan(body, init, xs)
+    Hcc = -pair.reshape(K, 6, K, 6).transpose(0, 2, 1, 3).reshape(K, K, 36)
+    Hcc = Hcc + jnp.eye(K)[:, :, None] * diag[:, None, :]
+    return Hcc, bc
+
+
 def _accumulate_family(K, poses, e, Jc, Jp, w, kf_idx, lam_p):
     """One family's contributions: returns (Hcc_add (K,K,36) flat camera-block
-    Hessian, bc_add (K,6), Hpp_inv (P,3,3), bp (P,3), Hcp (P,M,6,3)).
-
-    TPU layout note: camera blocks are kept FLAT (..., 36) throughout — a
-    (..., 6, 6) trailing pair pads to the (8, 128) tile, a 28x memory
-    expansion (a (P,M,M,6,6) Schur pair tensor measured 16 GB padded for
-    576 MB of payload).  The pair terms additionally accumulate one source
-    slot m at a time under fori_loop, so the peak temp is (P,M,36)."""
+    Hessian, bc_add (K,6), Hpp_inv (P,3,3), bp (P,3), Hcp (P,M,6,3))."""
     P, M = w.shape
     # camera diag blocks: sum_m Jc^T w Jc at (kf, kf).  Gradient convention:
     # we solve H dx = b with b = -J^T W e (residual e = obs - pred).
@@ -121,25 +197,14 @@ def _accumulate_family(K, poses, e, Jc, Jp, w, kf_idx, lam_p):
     Hpp_d = Hpp + lam_p * jnp.eye(3) * jnp.maximum(
         jnp.trace(Hpp, axis1=-2, axis2=-1)[..., None, None] / 3.0, 1e-6
     )
-    Hpp_inv = jnp.linalg.inv(Hpp_d + 1e-9 * jnp.eye(3))
+    Hpp_inv = _inv3(Hpp_d + 1e-9 * jnp.eye(3))
 
     T = jnp.einsum("pmij,pjk->pmik", Hcp, Hpp_inv)          # (P,M,6,3)
     bs = jnp.einsum("pmik,pk->pmi", T, bp)                  # (P,M,6)
 
-    ii = kf_idx  # (P, M)
-    Hcc = jnp.zeros((K, K, 36))
-    Hcc = Hcc.at[ii, ii].add(Hc_diag.reshape(P, M, 36))
-    # Schur cross terms: slot m against all n, one m per iteration
-    T_by_m = jnp.moveaxis(T, 1, 0)        # (M, P, 6, 3)
-    ii_by_m = jnp.moveaxis(ii, 1, 0)      # (M, P)
-
-    def pair_body(Hcc, xs):
-        T_m, ii_m = xs
-        S_m = jnp.einsum("pik,pnlk->pnil", T_m, Hcp)        # (P,M,6,6)
-        return Hcc.at[ii_m[:, None], ii].add(-S_m.reshape(P, M, 36)), None
-
-    Hcc, _ = jax.lax.scan(pair_body, Hcc, (T_by_m, ii_by_m))
-    bc = jnp.zeros((K, 6)).at[ii].add(bc_obs - bs)
+    Hcc, bc = _assemble_camera_system(
+        K, kf_idx, Hc_diag.reshape(P, M, 36), bc_obs - bs,
+        T, Hcp)
     return Hcc, bc, Hpp_inv, bp, Hcp
 
 
@@ -152,13 +217,17 @@ def _odom_terms(K, poses, edges: OdomEdges, w_scale):
     bi = -jnp.einsum("eki,e,ek->ei", J1, w, e)
     bj = -jnp.einsum("eki,e,ek->ei", J2, w, e)
     E = edges.i.shape[0]
-    Hcc = jnp.zeros((K, K, 36))
-    Hcc = Hcc.at[edges.i, edges.i].add(Hii.reshape(E, 36))
-    Hcc = Hcc.at[edges.j, edges.j].add(Hjj.reshape(E, 36))
-    Hcc = Hcc.at[edges.i, edges.j].add(Hij.reshape(E, 36))
-    Hcc = Hcc.at[edges.j, edges.i].add(
-        jnp.swapaxes(Hij, -1, -2).reshape(E, 36))
-    bc = jnp.zeros((K, 6)).at[edges.i].add(bi).at[edges.j].add(bj)
+    # one-hot matmul assembly (scatter-free; see _assemble_camera_system)
+    Oi = (edges.i[:, None] == jnp.arange(K)).astype(Hii.dtype)  # (E,K)
+    Oj = (edges.j[:, None] == jnp.arange(K)).astype(Hii.dtype)
+    diag = (jnp.einsum("ek,ex->kx", Oi, Hii.reshape(E, 36))
+            + jnp.einsum("ek,ex->kx", Oj, Hjj.reshape(E, 36)))
+    Z = Oj[:, :, None] * Hij.reshape(E, 1, 36)                  # (E,K,36)
+    cross = jnp.einsum("ek,elx->klx", Oi, Z)                    # at (i,j)
+    cross_t = cross.reshape(K, K, 6, 6).transpose(1, 0, 3, 2).reshape(K, K, 36)
+    Hcc = cross + cross_t + jnp.eye(K)[:, :, None] * diag[:, None, :]
+    bc = (jnp.einsum("ek,ex->kx", Oi, bi)
+          + jnp.einsum("ek,ex->kx", Oj, bj))
     chi2 = jnp.sum(e * e, axis=-1) * edges.info
     return Hcc, bc, chi2
 
@@ -226,11 +295,9 @@ def bundle_adjust(
     b_act0 = bird.valid & bird.point_valid[:, None]
 
     def chi2_of(poses, fXw, bXw, f_act, b_act, use_huber):
-        fb = front._replace(Xw=fXw)
-        bb = bird._replace(Xw=bXw)
-        _, _, _, _, c2f = _family_terms(cam, poses, fb, ba.w_front, ba.huber_delta, use_huber, f_act, True)
-        _, _, _, _, c2b = _family_terms(None, poses, bb, ba.w_bird, ba.huber_delta, use_huber, b_act, False)
-        _, _, c2o = _odom_terms(K, poses, odom, ba.w_pose)
+        c2f, _ = _family_chi2(cam, poses, front._replace(Xw=fXw), ba.w_front, True)
+        c2b, _ = _family_chi2(None, poses, bird._replace(Xw=bXw), ba.w_bird, False)
+        c2o = _odom_chi2(poses, odom, ba.w_pose)
         # family chi2 is shard-local (psum); odometry edges are replicated
         fam = _chi2_total(c2f, f_act, c2b, b_act, jnp.zeros((0,)), ba.huber_delta, use_huber)
         return _ax_sum(fam) + jnp.sum(c2o)
@@ -280,19 +347,15 @@ def bundle_adjust(
     # stage 1
     poses, fXw, bXw = lm_stage(poses0, front.Xw, bird.Xw, f_act0, b_act0, it1, True)
     # outlier re-gate (chi2 > 5.991 or negative depth — Optimizer.cc:2531-2556)
-    fb = front._replace(Xw=fXw)
-    bb = bird._replace(Xw=bXw)
-    _, _, _, _, c2f = _family_terms(cam, poses, fb, ba.w_front, ba.huber_delta, False, jnp.ones_like(f_act0, jnp.float32), True)
-    _, _, _, _, c2b = _family_terms(None, poses, bb, ba.w_bird, ba.huber_delta, False, jnp.ones_like(b_act0, jnp.float32), False)
-    f_act1 = f_act0 & (c2f <= ba.chi2_mono_ba * ba.w_front) & _depth_mask(cam, poses, fb)
+    c2f, f_depth = _family_chi2(cam, poses, front._replace(Xw=fXw), ba.w_front, True)
+    c2b, _ = _family_chi2(None, poses, bird._replace(Xw=bXw), ba.w_bird, False)
+    f_act1 = f_act0 & (c2f <= ba.chi2_mono_ba * ba.w_front) & f_depth
     b_act1 = b_act0 & (c2b <= ba.chi2_bird * ba.w_bird)
     # stage 2: no robust kernel (reference sets edges level-1 and re-optimizes)
     poses, fXw, bXw = lm_stage(poses, fXw, bXw, f_act1, b_act1, it2, False)
     # final classification
-    fb = front._replace(Xw=fXw)
-    bb = bird._replace(Xw=bXw)
-    _, _, _, _, c2f = _family_terms(cam, poses, fb, ba.w_front, ba.huber_delta, False, jnp.ones_like(f_act0, jnp.float32), True)
-    _, _, _, _, c2b = _family_terms(None, poses, bb, ba.w_bird, ba.huber_delta, False, jnp.ones_like(b_act0, jnp.float32), False)
-    f_in = f_act0 & (c2f <= ba.chi2_mono_ba * ba.w_front) & _depth_mask(cam, poses, fb)
+    c2f, f_depth = _family_chi2(cam, poses, front._replace(Xw=fXw), ba.w_front, True)
+    c2b, _ = _family_chi2(None, poses, bird._replace(Xw=bXw), ba.w_bird, False)
+    f_in = f_act0 & (c2f <= ba.chi2_mono_ba * ba.w_front) & f_depth
     b_in = b_act0 & (c2b <= ba.chi2_bird * ba.w_bird)
     return BAResult(poses, fXw, bXw, f_in, b_in)

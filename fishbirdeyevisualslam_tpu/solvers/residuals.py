@@ -109,6 +109,22 @@ def odom_residuals(T_meas, T1, T2):
     return e, J1, J2
 
 
+def front_error(cam: CameraConfig, Tcw, Xw, uv):
+    """Residual-only front reprojection (no Jacobians) for chi2 evaluation.
+    Returns (e (N,2), p_cam (N,3))."""
+    p = se3.transform(Tcw, Xw)
+    z = jnp.where(jnp.abs(p[..., 2]) < 1e-6, 1e-6, p[..., 2])
+    u = cam.fx * p[..., 0] / z + cam.cx
+    v = cam.fy * p[..., 1] / z + cam.cy
+    return uv - jnp.stack([u, v], axis=-1), p
+
+
+def bird_error(Tcw, Xw, Xc):
+    """Residual-only bird 3D-3D (no Jacobians). Returns (e (N,3), p_cam)."""
+    p = se3.transform(Tcw, Xw)
+    return Xc - p, p
+
+
 def huber_weights(chi2, delta: float):
     """IRLS weight rho'(s): 1 inside the Huber region, delta/sqrt(s) outside
     (g2o RobustKernelHuber semantics; delta = sqrt(5.991) in the reference)."""

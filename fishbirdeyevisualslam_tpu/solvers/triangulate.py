@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from fishbirdeyevisualslam_tpu.config import CameraConfig
 from fishbirdeyevisualslam_tpu.geometry import se3
+from fishbirdeyevisualslam_tpu.solvers import linalg as linalg_ops
 from fishbirdeyevisualslam_tpu.solvers.linalg import nullvec
 
 
@@ -103,7 +104,9 @@ def triangulate(
             err = err + eu * eu + ev * ev
         lam = 1e-6 * (H[..., 0, 0] + H[..., 1, 1] + H[..., 2, 2]) + 1e-12
         Hd = H + lam[..., None, None] * jnp.eye(3, dtype=X.dtype)
-        dx = jnp.linalg.solve(Hd, g[..., :, None])[..., 0]
+        # closed-form 3x3 solve: the LU custom call is ~20x slower for
+        # thousands of batched tiny systems on TPU (solvers/linalg.py)
+        dx = linalg_ops.solve3(Hd, g)
         X_new = X - dx
         ok = jnp.all(jnp.isfinite(X_new), axis=-1)
         return jnp.where(ok[..., None], X_new, X)
