@@ -188,6 +188,16 @@ class TrackingConfig:
     # kernel's bf16 descriptor contraction is pinned and unaffected), so this
     # defaults ON.  Ignored on CPU (op-graph path).
     use_fused_matcher: bool = True
+    # Candidate compaction for the fused matchers (r4): gather the visible
+    # candidate rows into a fixed-cap prefix before the kernel when they fit,
+    # so the (N_feat x N_points) kernel shrinks to (N_feat x cap) — the gated
+    # match kernel is VPU-bound, so skipping invisible rows multiplies real
+    # throughput where no kernel-level tuning can.  A lax.cond falls back to
+    # the full-axis kernel when the visible count exceeds the cap (identical
+    # semantics by construction).  0 disables.
+    match_compact_cap: int = 4096        # motion-model match (last-frame cands)
+    local_match_compact_cap: int = 8192  # local-map match (covis window cands)
+    bird_match_compact_cap: int = 2048
 
 
 @dataclasses.dataclass(frozen=True)

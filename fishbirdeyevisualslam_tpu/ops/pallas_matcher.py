@@ -207,29 +207,29 @@ def _proj_match_kernel(a_pm1_ref, a_aux_ref, b_pm1_ref, b_aux_ref, out_ref,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
     )
-    d = 0.5 * (256.0 - dot)
 
-    # gates: per-target window radius (negative = invalid target), A validity
-    # (aux col 3 <= 0 = invalid), optional octave-vs-predicted-level window
+    # gates: per-target window radius (negative = invalid target; invalid A
+    # rows carry ua = -1e6 so the window test rejects them — no separate
+    # A-validity lane op), optional octave-vs-predicted-level INTERVAL
+    # [olo, ohi] precomputed on the B side (pred < 0 targets carry ±1e9)
     ua = a_aux_ref[:, 0][:, None]
     va = a_aux_ref[:, 1][:, None]
     ub = b_aux_ref[:, 0][None, :]
     vb = b_aux_ref[:, 1][None, :]
     rb = b_aux_ref[:, 2][None, :]
     ok = (jnp.abs(ua - ub) <= rb) & (jnp.abs(va - vb) <= rb)
-    ok = ok & (a_aux_ref[:, 3][:, None] > 0.0)
     if level_window:
-        # pred < 0 marks targets with no scale estimate yet (fresh landmarks):
-        # the octave window must not gate those (match_map_points contract)
-        pred = b_aux_ref[:, 3][None, :]
-        doct = a_aux_ref[:, 2][:, None] - pred
-        ok = ok & (((doct >= -1.0) & (doct <= 1.0)) | (pred < 0.0))
+        oa = a_aux_ref[:, 2][:, None]
+        ok = ok & (oa >= b_aux_ref[:, 4][None, :]) \
+               & (oa <= b_aux_ref[:, 5][None, :])
 
     # tile-local best + second via packed min: p = d * 2^13 + col is exact in
     # f32 (d integer <= 257*2^13 < 2^24), so ONE min reduction yields both the
     # best distance and its column — no argmin pass over the (ta, tb) tile.
+    # d*8192 + col = 2^20 + col - 4096*dot, all integer-exact in f32: ONE fma
+    # on the raw dot instead of the 0.5*(256-dot) rescale then repack.
     col = jax.lax.broadcasted_iota(jnp.int32, (ta, tb), 1).astype(jnp.float32)
-    p = jnp.where(ok, d * 8192.0 + col, BIG)
+    p = jnp.where(ok, (1048576.0 + col) - 4096.0 * dot, BIG)
     p1 = jnp.min(p, axis=1)
     t1 = jnp.where(p1 >= BIG, BIG, jnp.floor(p1 / 8192.0))
     ti = p1 - jnp.floor(p1 / 8192.0) * 8192.0
@@ -277,8 +277,9 @@ def _proj_match_kernel_dual(a_pm1_ref, a_aux_ref, b_pm1_ref, b_aux_ref, out_ref,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
     )
-    d = 0.5 * (256.0 - dot)
 
+    # invalid A rows carry ua = -1e6 (window test rejects them); level gate is
+    # a precomputed B-side interval — see _proj_match_kernel
     ua = a_aux_ref[:, 0][:, None]
     va = a_aux_ref[:, 1][:, None]
     ub = b_aux_ref[:, 0][None, :]
@@ -286,11 +287,10 @@ def _proj_match_kernel_dual(a_pm1_ref, a_aux_ref, b_pm1_ref, b_aux_ref, out_ref,
     rb = b_aux_ref[:, 2][None, :]
     du = jnp.abs(ua - ub)
     dv = jnp.abs(va - vb)
-    base_ok = a_aux_ref[:, 3][:, None] > 0.0
     if level_window:
-        pred = b_aux_ref[:, 3][None, :]
-        doct = a_aux_ref[:, 2][:, None] - pred
-        base_ok = base_ok & (((doct >= -1.0) & (doct <= 1.0)) | (pred < 0.0))
+        oa = a_aux_ref[:, 2][:, None]
+        base_ok = (oa >= b_aux_ref[:, 4][None, :]) \
+            & (oa <= b_aux_ref[:, 5][None, :])
 
     col = jax.lax.broadcasted_iota(jnp.int32, (ta, tb), 1).astype(jnp.float32)
 
@@ -299,8 +299,10 @@ def _proj_match_kernel_dual(a_pm1_ref, a_aux_ref, b_pm1_ref, b_aux_ref, out_ref,
     # consumed by two reduction chains, which would force Mosaic to materialize
     # every elementwise temporary on the 16 MB kernel stack.
     r_wide = rb * r2_scale
-    p_wide = jnp.where(base_ok & (du <= r_wide) & (dv <= r_wide),
-                       d * 8192.0 + col, BIG)
+    wide_ok = (du <= r_wide) & (dv <= r_wide)
+    if level_window:
+        wide_ok = wide_ok & base_ok
+    p_wide = jnp.where(wide_ok, (1048576.0 + col) - 4096.0 * dot, BIG)
     p_narrow = jnp.where((du <= rb) & (dv <= rb), p_wide, BIG)
 
     for p, c0 in ((p_narrow, 0), (p_wide, 3)):
@@ -360,19 +362,28 @@ def fused_projection_match(pm1_a, uv_a, oct_a, valid_a,
         else jnp.zeros((pb, 256), bf).at[:nb].set(pm1_b.astype(bf))
     # aux blocks assembled by ONE concat + pad each (a chain of .at[].set
     # columns lowered to serial (N, 4) dynamic-update-slices costing ~0.13 ms
-    # per tracking step in the device trace)
+    # per tracking step in the device trace).  Gate precompute (r4): invalid A
+    # rows are poisoned with ua = -1e6 and the level window becomes a B-side
+    # [olo, ohi] interval, so the kernel's per-element gate is pure
+    # compare/and — no validity lane, no doct subtract, no pred<0 escape.
     a_aux = jnp.concatenate([
-        uv_a.astype(jnp.float32),
+        jnp.where(valid_a, uv_a[:, 0].astype(jnp.float32), -1e6)[:, None],
+        uv_a[:, 1].astype(jnp.float32)[:, None],
         oct_a.astype(jnp.float32)[:, None],
-        valid_a.astype(jnp.float32)[:, None],
+        jnp.zeros((na, 1), jnp.float32),
     ], axis=1)
-    a_aux = jnp.pad(a_aux, ((0, pa - na), (0, 0)))
+    a_aux = jnp.pad(a_aux, ((0, pa - na), (0, 0)), constant_values=-1e6)
     r_eff = jnp.where(valid_b, jnp.broadcast_to(
         jnp.asarray(radius_b, jnp.float32), (nb,)), -1.0)
+    predf = pred_b.astype(jnp.float32)
+    no_oct = predf < 0.0
     b_aux = jnp.concatenate([
         uv_b.astype(jnp.float32),
         r_eff[:, None],
-        pred_b.astype(jnp.float32)[:, None],
+        predf[:, None],
+        jnp.where(no_oct, -1e9, predf - 1.0)[:, None],
+        jnp.where(no_oct, 1e9, predf + 1.0)[:, None],
+        jnp.zeros((nb, 2), jnp.float32),
     ], axis=1)
     b_aux = jnp.pad(b_aux, ((0, pb - nb), (0, 0)), constant_values=-1.0)
 
@@ -385,7 +396,7 @@ def fused_projection_match(pm1_a, uv_a, oct_a, valid_a,
             pl.BlockSpec((tile_a, 256), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_a, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, 256), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, 4), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_a, 128), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -437,17 +448,23 @@ def fused_projection_match_dual(pm1_a, uv_a, oct_a, valid_a,
     b = pm1_b if (nb == pb and pm1_b.dtype == bf) \
         else jnp.zeros((pb, 256), bf).at[:nb].set(pm1_b.astype(bf))
     a_aux = jnp.concatenate([
-        uv_a.astype(jnp.float32),
+        jnp.where(valid_a, uv_a[:, 0].astype(jnp.float32), -1e6)[:, None],
+        uv_a[:, 1].astype(jnp.float32)[:, None],
         oct_a.astype(jnp.float32)[:, None],
-        valid_a.astype(jnp.float32)[:, None],
+        jnp.zeros((na, 1), jnp.float32),
     ], axis=1)
-    a_aux = jnp.pad(a_aux, ((0, pa - na), (0, 0)))
+    a_aux = jnp.pad(a_aux, ((0, pa - na), (0, 0)), constant_values=-1e6)
     r_eff = jnp.where(valid_b, jnp.broadcast_to(
         jnp.asarray(radius_b, jnp.float32), (nb,)), -1.0)
+    predf = pred_b.astype(jnp.float32)
+    no_oct = predf < 0.0
     b_aux = jnp.concatenate([
         uv_b.astype(jnp.float32),
         r_eff[:, None],
-        pred_b.astype(jnp.float32)[:, None],
+        predf[:, None],
+        jnp.where(no_oct, -1e9, predf - 1.0)[:, None],
+        jnp.where(no_oct, 1e9, predf + 1.0)[:, None],
+        jnp.zeros((nb, 2), jnp.float32),
     ], axis=1)
     b_aux = jnp.pad(b_aux, ((0, pb - nb), (0, 0)), constant_values=-1.0)
 
@@ -461,7 +478,7 @@ def fused_projection_match_dual(pm1_a, uv_a, oct_a, valid_a,
             pl.BlockSpec((tile_a, 256), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_a, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, 256), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, 4), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_a, 128), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),

@@ -18,8 +18,9 @@ from fishbirdeyevisualslam_tpu.slam import tracking as tr
 
 
 def run(n_frames=80, kind="circle", noise=0.02, seed=0, use_contour=True,
-        bird_gate_mult=None, degraded=False):
-    cfg = SystemConfig()
+        bird_gate_mult=None, degraded=False, cfg=None, tag=""):
+    if cfg is None:
+        cfg = SystemConfig()
     if bird_gate_mult is not None:
         import dataclasses
         cfg = cfg.replace(bird=dataclasses.replace(
@@ -52,7 +53,7 @@ def run(n_frames=80, kind="circle", noise=0.02, seed=0, use_contour=True,
                 cfg.extrinsics, se3.inverse(m.kf_Tcw[k]))) for _, k in kf_rows])
             gt_kf = np.asarray(seq.gt)[[i for i, _ in kf_rows]]
             ate_kf = float(ate_rmse_vs_gt(Twb, gt_kf))
-    print(f"kind={kind} n={n_frames} noise={noise} seed={seed} contour={use_contour} "
+    print(f"{tag}kind={kind} n={n_frames} noise={noise} seed={seed} contour={use_contour} "
           f"degraded={degraded}: "
           f"lost={sum(s == tr.LOST for s in states)} kf={int(sys_.map.n_kf) if sys_.map is not None else 0} "
           f"loops={sys_.n_loops_closed} ATE={float(ate):.3f} m "

@@ -2,8 +2,9 @@
 
 Two OS processes x 4 virtual CPU devices each join one 8-device job through
 ``jax.distributed.initialize``; the landmark-sharded global BA runs over the
-joint mesh and must match a single-device solve.  Opt-in (spawns processes and
-pays two fresh XLA startups): set ``FBEV_MULTIPROC=1``.
+joint mesh and must match a single-device solve.  Runs unconditionally in the
+heavy tier (VERDICT r3 weak #6: the FBEV_MULTIPROC opt-in gate meant it was
+silently skipped in every default run).
 """
 import os
 import socket
@@ -26,8 +27,6 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.skipif(not os.environ.get("FBEV_MULTIPROC"),
-                    reason="spawns 2 JAX processes (~2 min); set FBEV_MULTIPROC=1")
 def test_two_process_parity():
     port = _free_port()
     env = dict(os.environ)

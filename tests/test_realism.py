@@ -1,0 +1,92 @@
+"""Model-violating world renderer (io.realism) + full-system run over it.
+
+The realism layer exists to break the estimator's assumed models (flat
+ground, exact IPM constants, exact extrinsics); these tests pin (a) that the
+violations are actually present in the rendered data and (b) that the full
+system still tracks through them with bounded error."""
+
+import numpy as np
+import pytest
+
+from fishbirdeyevisualslam_tpu.config import SystemConfig
+from fishbirdeyevisualslam_tpu.io import realism, synthetic
+
+
+class TestRenderer:
+    def test_relief_displaces_ipm(self):
+        """With relief amplitude, the bird render must differ from the
+        flat-world resampling of the same ground texture (the IPM swim)."""
+        cfg = SystemConfig()
+        rc0 = realism.RealismConfig(relief_amp_m=0.0, n_clutter=0,
+                                    extrinsic_rot_deg=0.0,
+                                    extrinsic_trans_m=0.0, ipm_scale_err=0.0)
+        rc1 = realism.RealismConfig(relief_amp_m=0.05, n_clutter=0,
+                                    extrinsic_rot_deg=0.0,
+                                    extrinsic_trans_m=0.0, ipm_scale_err=0.0)
+        w0 = realism.make_real_world(cfg, rc0, seed=3)
+        w1 = realism.make_real_world(cfg, rc1, seed=3)
+        pose = np.array([1.0, 0.5, 0.2], np.float32)
+        b0 = realism.render_bird_real(w0, cfg, pose)
+        b1 = realism.render_bird_real(w1, cfg, pose)
+        # same texture, different sampling: outer ring must shift measurably
+        assert np.abs(b0 - b1).mean() > 1.0
+
+    def test_clutter_leaks_into_bird(self):
+        cfg = SystemConfig()
+        rc = realism.RealismConfig(relief_amp_m=0.0, n_clutter=8,
+                                   extrinsic_rot_deg=0.0,
+                                   extrinsic_trans_m=0.0, ipm_scale_err=0.0)
+        w = realism.make_real_world(cfg, rc, seed=1)
+        wno = realism.make_real_world(
+            cfg, realism.RealismConfig(relief_amp_m=0.0, n_clutter=0,
+                                       extrinsic_rot_deg=0.0,
+                                       extrinsic_trans_m=0.0,
+                                       ipm_scale_err=0.0), seed=1)
+        diff = 0.0
+        for ang in (0.0, 1.5, 3.0):
+            pose = np.array([8 * np.cos(ang), 8 * np.sin(ang), ang], np.float32)
+            diff = max(diff, float(np.abs(
+                realism.render_bird_real(w, cfg, pose)
+                - realism.render_bird_real(wno, cfg, pose)).max()))
+        assert diff > 20.0, "no clutter visible in any bird view"
+
+    def test_perturbed_cfg_differs(self):
+        cfg = SystemConfig()
+        rc = realism.RealismConfig()
+        cfg_t = realism._perturbed_cfg(cfg, rc, seed=0)
+        assert cfg_t.extrinsics.q_bc_xyzw != cfg.extrinsics.q_bc_xyzw
+        assert cfg_t.bird.pixel2meter != cfg.bird.pixel2meter
+        # unit rotation composed on: norm preserved (config's stored quat is
+        # only 3-decimal, so compare against ITS norm, not exactly 1)
+        q = np.asarray(cfg_t.extrinsics.q_bc_xyzw)
+        q0 = np.asarray(cfg.extrinsics.q_bc_xyzw)
+        assert abs(float(np.linalg.norm(q) - np.linalg.norm(q0))) < 1e-4
+
+
+@pytest.mark.heavy
+class TestRealismE2E:
+    def test_tracks_through_model_violations(self):
+        """Full system over the model-violating world: most frames track and
+        ATE stays bounded (looser than the clean-world bound — the world IS
+        lying to the estimator's models)."""
+        from fishbirdeyevisualslam_tpu.io.evaluate import ate_rmse_vs_gt
+        from fishbirdeyevisualslam_tpu.slam.system import SlamSystem
+        from fishbirdeyevisualslam_tpu.slam import tracking as tr
+
+        cfg = SystemConfig()
+        seq = realism.make_real_sequence(cfg, n_frames=25, kind="arc",
+                                         odom_noise=0.02, seed=0, step=0.5)
+        s = SlamSystem(cfg)
+        for i, fr in enumerate(seq.frames):
+            s.track(fr["front"], fr["bird"], fr["mask"], seq.odom[i],
+                    fr["timestamp"], contour=fr["contour"])
+        s.finish()
+        states = [e.state for e in s.trajectory]
+        assert sum(st == tr.OK for st in states) >= 15, states
+        est = s.frame_trajectory_Twb()
+        ate = float(ate_rmse_vs_gt(est, seq.gt))
+        assert ate < 0.5, ate
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
