@@ -30,9 +30,32 @@ class EdgeCloud(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
+def edge_cloud_filtered(bird_img, freespace_img, cfg: SystemConfig,
+                        n_points: int = 1024) -> EdgeCloud:
+    """Reference-fidelity edge extraction: the full ``EdgeFilterIPM`` pipeline
+    (Otsu-Canny + per-view focal-ray artifact removal + small-edge culling,
+    ``ops/edge_filter.py``) -> top-n surviving pixels -> metric base frame.
+    ``freespace_img``: the freespace intensity image (mask * 255 works)."""
+    from fishbirdeyevisualslam_tpu.ops.edge_filter import filter_ipm_edges
+    merged, _, _ = filter_ipm_edges(bird_img, freespace_img)
+    # tiebreak equal weights by gradient magnitude for a deterministic top-k
+    gy = bird_img[2:, 1:-1] - bird_img[:-2, 1:-1]
+    gx = bird_img[1:-1, 2:] - bird_img[1:-1, :-2]
+    g = jnp.pad(jnp.sqrt(gx * gx + gy * gy), 1)
+    score = merged * 1e4 + jnp.where(merged > 0, g, 0.0)
+    v, idx = jax.lax.top_k(score.reshape(-1), n_points)
+    rows = idx // bird_img.shape[1]
+    cols = idx % bird_img.shape[1]
+    pix = jnp.stack([cols.astype(jnp.float32), rows.astype(jnp.float32)], axis=-1)
+    base = ipm.bird_pixel_to_base_xy(cfg.bird, pix)
+    return EdgeCloud(base[:, :2], v > 0.0)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
 def edge_cloud(bird_img, mask, cfg: SystemConfig, n_points: int = 1024) -> EdgeCloud:
     """Gradient-magnitude edge extraction -> top-n edge pixels -> metric base
-    frame (the ``EdgeFilterIPM::process`` -> labeled-cloud export analog)."""
+    frame (the fast path; ``edge_cloud_filtered`` is the reference-fidelity
+    ``EdgeFilterIPM::process`` analog)."""
     gy = bird_img[2:, 1:-1] - bird_img[:-2, 1:-1]
     gx = bird_img[1:-1, 2:] - bird_img[1:-1, :-2]
     g = jnp.sqrt(gx * gx + gy * gy)
@@ -217,17 +240,26 @@ class BirdOdometer:
     ``method``: "ndt" (default — matches the reference's pclomp NDT) or "icp"
     (point-to-point fallback)."""
 
-    def __init__(self, cfg: SystemConfig, method: str = "ndt"):
+    def __init__(self, cfg: SystemConfig, method: str = "ndt",
+                 use_edge_filter: bool = False):
         self.cfg = cfg
         self.method = method
+        # full EdgeFilterIPM fidelity (Otsu-Canny + focal-ray artifact
+        # removal) vs the fast gradient-top-k path
+        self.use_edge_filter = use_edge_filter
         self.key_cloud = None
         self.key_grid = None
         self.key_pose = np.zeros(3)   # world pose of the key cloud
         self.pose = np.zeros(3)       # current world SE2 pose
 
     def add_new_frame(self, bird_img, mask) -> np.ndarray:
-        cloud = edge_cloud(jnp.asarray(bird_img, jnp.float32), jnp.asarray(mask),
-                           self.cfg)
+        if self.use_edge_filter:
+            cloud = edge_cloud_filtered(
+                jnp.asarray(bird_img, jnp.float32),
+                jnp.asarray(mask, jnp.float32) * 255.0, self.cfg)
+        else:
+            cloud = edge_cloud(jnp.asarray(bird_img, jnp.float32),
+                               jnp.asarray(mask), self.cfg)
         if self.key_cloud is None:
             self.key_cloud = cloud
             if self.method == "ndt":
