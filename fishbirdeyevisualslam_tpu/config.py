@@ -195,9 +195,17 @@ class TrackingConfig:
     # throughput where no kernel-level tuning can.  A lax.cond falls back to
     # the full-axis kernel when the visible count exceeds the cap (identical
     # semantics by construction).  0 disables.
-    match_compact_cap: int = 4096        # motion-model match (last-frame cands)
-    local_match_compact_cap: int = 8192  # local-map match (covis window cands)
-    bird_match_compact_cap: int = 2048
+    # cap sizing: real runs measure ~600 local-window points and ~2k
+    # motion-model candidates (soak r4 probes); the caps sit just above the
+    # typical counts so the compact path engages in production while genuinely
+    # dense moments fall back to the full axis
+    match_compact_cap: int = 2048        # motion-model match (last-frame cands)
+    local_match_compact_cap: int = 2048  # local-map match (covis window cands)
+    bird_match_compact_cap: int = 1024
+    # loop acceptance: the candidate's covisibility-neighborhood map points
+    # must reproject onto the current KF with >= this many 10 px descriptor
+    # matches under the computed correction (``LoopClosing.cc:380-400``)
+    loop_min_proj_matches: int = 40
 
 
 @dataclasses.dataclass(frozen=True)

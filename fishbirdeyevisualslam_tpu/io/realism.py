@@ -158,14 +158,24 @@ class RealWorld:
 
 
 def make_real_world(cfg: SystemConfig, rc: RealismConfig = RealismConfig(),
-                    seed=0, extent=120.0, res=0.04) -> RealWorld:
+                    seed=0, extent=120.0, res=0.04, traj=None) -> RealWorld:
     rng = np.random.RandomState(seed)
     n = min(int(extent / res), 4096)
     ground = asphalt_texture(rng, n, res)
     ground = paint_worn_markings(ground, rng, res)
     billboards = []
-    for k in range(16):
-        if k % 2 == 0:
+    n_bb = 16 if traj is None else max(16, len(traj) // 12)
+    for k in range(n_bb):
+        if traj is not None:
+            # facades along the path (see synthetic.make_world: long
+            # trajectories leave any fixed layout)
+            i = rng.randint(0, len(traj))
+            x0, y0, th0 = traj[i]
+            side = rng.choice([-1, 1])
+            off = rng.uniform(5, 13)
+            x = x0 - side * np.sin(th0) * off
+            y = y0 + side * np.cos(th0) * off
+        elif k % 2 == 0:
             x = rng.uniform(-10, 90)
             y = rng.choice([-1, 1]) * rng.uniform(4, 14)
         else:
@@ -370,9 +380,9 @@ def make_real_sequence(cfg: SystemConfig, n_frames=40, kind="arc",
     """Model-violating sequence: rendered with perturbed true constants and a
     non-flat, cluttered world; the SLAM consumes it under its UNPERTURBED
     config.  Optionally stacked with sensor degradation."""
-    world = make_real_world(cfg, rc, seed)
-    cfg_true = _perturbed_cfg(cfg, rc, seed)
     gt = syn.make_trajectory(n_frames, kind, step=step, seed=seed)
+    world = make_real_world(cfg, rc, seed, traj=gt)
+    cfg_true = _perturbed_cfg(cfg, rc, seed)
     odom = syn.odometry_from_gt(gt, odom_noise, seed)
     rng = np.random.RandomState(seed + 12345)
     log_gain = 0.0

@@ -104,15 +104,31 @@ def _paint_markings(ground, rng, res, n_marks=160):
     return ground
 
 
-def make_world(seed=0, extent=120.0, res=0.04, n_billboards=24) -> World:
+def make_world(seed=0, extent=120.0, res=0.04, n_billboards=24,
+               traj=None) -> World:
+    """``traj`` (N, 3) SE2 ground truth: when given, billboards are scattered
+    ALONG the trajectory (random arc positions, 5-13 m lateral offset) so the
+    whole path has mid-range front structure — a 175 m soak circle leaves the
+    default origin-ring/corridor layout entirely and the front view degrades
+    into a featureless void no real driving environment exhibits (soak r4
+    root-caused its inlier collapse to exactly this)."""
     rng = np.random.RandomState(seed)
     n = int(extent / res)
     n = min(n, 4096)
     ground = _smooth_texture(rng, n)
     ground = _paint_markings(ground, rng, res)
     billboards = []
+    if traj is not None:
+        n_billboards = max(n_billboards, len(traj) // 12)
     for k in range(n_billboards):
-        if k % 2 == 0:
+        if traj is not None:
+            i = rng.randint(0, len(traj))
+            x0, y0, th0 = traj[i]
+            side = rng.choice([-1, 1])
+            off = rng.uniform(5, 13)
+            x = x0 - side * np.sin(th0) * off
+            y = y0 + side * np.cos(th0) * off
+        elif k % 2 == 0:
             # boards flanking the road corridor (vehicle drives roughly along +x)
             x = rng.uniform(-10, 90)
             y = rng.choice([-1, 1]) * rng.uniform(4, 14)
@@ -425,8 +441,8 @@ def make_sequence(cfg: SystemConfig, n_frames=40, kind="arc", odom_noise=0.0,
     sensor-degraded variant (contours are computed from the CLEAN bird image —
     the dataset's contour labels come from an upstream segmenter, not from the
     degraded pixels — then corrupted by label dropout)."""
-    world = make_world(seed)
     gt = make_trajectory(n_frames, kind, step=step, seed=seed)
+    world = make_world(seed, traj=gt)
     odom = odometry_from_gt(gt, odom_noise, seed)
     rng = np.random.RandomState(seed + 12345)
     log_gain = 0.0

@@ -211,17 +211,19 @@ def _proj_match_kernel(a_pm1_ref, a_aux_ref, b_pm1_ref, b_aux_ref, out_ref,
     # gates: per-target window radius (negative = invalid target; invalid A
     # rows carry ua = -1e6 so the window test rejects them — no separate
     # A-validity lane op), optional octave-vs-predicted-level INTERVAL
-    # [olo, ohi] precomputed on the B side (pred < 0 targets carry ±1e9)
-    ua = a_aux_ref[:, 0][:, None]
-    va = a_aux_ref[:, 1][:, None]
-    ub = b_aux_ref[:, 0][None, :]
-    vb = b_aux_ref[:, 1][None, :]
-    rb = b_aux_ref[:, 2][None, :]
+    # [olo, ohi] precomputed on the B side (pred < 0 targets carry ±1e9).
+    # aux operands arrive TRANSPOSED — (const, N) — so each gate scalar is a
+    # contiguous LANE vector, not a strided column of an (N, 8) block
+    ua = a_aux_ref[0, :][:, None]
+    va = a_aux_ref[1, :][:, None]
+    ub = b_aux_ref[0, :][None, :]
+    vb = b_aux_ref[1, :][None, :]
+    rb = b_aux_ref[2, :][None, :]
     ok = (jnp.abs(ua - ub) <= rb) & (jnp.abs(va - vb) <= rb)
     if level_window:
-        oa = a_aux_ref[:, 2][:, None]
-        ok = ok & (oa >= b_aux_ref[:, 4][None, :]) \
-               & (oa <= b_aux_ref[:, 5][None, :])
+        oa = a_aux_ref[2, :][:, None]
+        ok = ok & (oa >= b_aux_ref[4, :][None, :]) \
+               & (oa <= b_aux_ref[5, :][None, :])
 
     # tile-local best + second via packed min: p = d * 2^13 + col is exact in
     # f32 (d integer <= 257*2^13 < 2^24), so ONE min reduction yields both the
@@ -279,18 +281,19 @@ def _proj_match_kernel_dual(a_pm1_ref, a_aux_ref, b_pm1_ref, b_aux_ref, out_ref,
     )
 
     # invalid A rows carry ua = -1e6 (window test rejects them); level gate is
-    # a precomputed B-side interval — see _proj_match_kernel
-    ua = a_aux_ref[:, 0][:, None]
-    va = a_aux_ref[:, 1][:, None]
-    ub = b_aux_ref[:, 0][None, :]
-    vb = b_aux_ref[:, 1][None, :]
-    rb = b_aux_ref[:, 2][None, :]
+    # a precomputed B-side interval; aux operands transposed (const, N) —
+    # see _proj_match_kernel
+    ua = a_aux_ref[0, :][:, None]
+    va = a_aux_ref[1, :][:, None]
+    ub = b_aux_ref[0, :][None, :]
+    vb = b_aux_ref[1, :][None, :]
+    rb = b_aux_ref[2, :][None, :]
     du = jnp.abs(ua - ub)
     dv = jnp.abs(va - vb)
     if level_window:
-        oa = a_aux_ref[:, 2][:, None]
-        base_ok = (oa >= b_aux_ref[:, 4][None, :]) \
-            & (oa <= b_aux_ref[:, 5][None, :])
+        oa = a_aux_ref[2, :][:, None]
+        base_ok = (oa >= b_aux_ref[4, :][None, :]) \
+            & (oa <= b_aux_ref[5, :][None, :])
 
     col = jax.lax.broadcasted_iota(jnp.int32, (ta, tb), 1).astype(jnp.float32)
 
@@ -360,32 +363,34 @@ def fused_projection_match(pm1_a, uv_a, oct_a, valid_a,
         else jnp.zeros((pa, 256), bf).at[:na].set(pm1_a.astype(bf))
     b = pm1_b if (nb == pb and pm1_b.dtype == bf) \
         else jnp.zeros((pb, 256), bf).at[:nb].set(pm1_b.astype(bf))
-    # aux blocks assembled by ONE concat + pad each (a chain of .at[].set
-    # columns lowered to serial (N, 4) dynamic-update-slices costing ~0.13 ms
-    # per tracking step in the device trace).  Gate precompute (r4): invalid A
+    # aux operands TRANSPOSED to (const, N): each gate scalar is one
+    # contiguous lane-vector row (a column of an (N, 8) block is a strided
+    # sublane read Mosaic pays dearly for).  Gate precompute (r4): invalid A
     # rows are poisoned with ua = -1e6 and the level window becomes a B-side
     # [olo, ohi] interval, so the kernel's per-element gate is pure
     # compare/and — no validity lane, no doct subtract, no pred<0 escape.
-    a_aux = jnp.concatenate([
-        jnp.where(valid_a, uv_a[:, 0].astype(jnp.float32), -1e6)[:, None],
-        uv_a[:, 1].astype(jnp.float32)[:, None],
-        oct_a.astype(jnp.float32)[:, None],
-        jnp.zeros((na, 1), jnp.float32),
-    ], axis=1)
-    a_aux = jnp.pad(a_aux, ((0, pa - na), (0, 0)), constant_values=-1e6)
+    a_aux = jnp.stack([
+        jnp.where(valid_a, uv_a[:, 0].astype(jnp.float32), -1e6),
+        uv_a[:, 1].astype(jnp.float32),
+        oct_a.astype(jnp.float32),
+        jnp.zeros((na,), jnp.float32),
+    ])
+    a_aux = jnp.pad(a_aux, ((0, 4), (0, pa - na)), constant_values=-1e6)
     r_eff = jnp.where(valid_b, jnp.broadcast_to(
         jnp.asarray(radius_b, jnp.float32), (nb,)), -1.0)
     predf = pred_b.astype(jnp.float32)
     no_oct = predf < 0.0
-    b_aux = jnp.concatenate([
-        uv_b.astype(jnp.float32),
-        r_eff[:, None],
-        predf[:, None],
-        jnp.where(no_oct, -1e9, predf - 1.0)[:, None],
-        jnp.where(no_oct, 1e9, predf + 1.0)[:, None],
-        jnp.zeros((nb, 2), jnp.float32),
-    ], axis=1)
-    b_aux = jnp.pad(b_aux, ((0, pb - nb), (0, 0)), constant_values=-1.0)
+    b_aux = jnp.stack([
+        uv_b[:, 0].astype(jnp.float32),
+        uv_b[:, 1].astype(jnp.float32),
+        r_eff,
+        predf,
+        jnp.where(no_oct, -1e9, predf - 1.0),
+        jnp.where(no_oct, 1e9, predf + 1.0),
+        jnp.zeros((nb,), jnp.float32),
+        jnp.zeros((nb,), jnp.float32),
+    ])
+    b_aux = jnp.pad(b_aux, ((0, 0), (0, pb - nb)), constant_values=-1.0)
 
     grid = (pa // tile_a, pb // tile_b)
     out = pl.pallas_call(
@@ -394,9 +399,9 @@ def fused_projection_match(pm1_a, uv_a, oct_a, valid_a,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_a, 256), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_a, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_a), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, 256), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_b), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_a, 128), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -447,26 +452,28 @@ def fused_projection_match_dual(pm1_a, uv_a, oct_a, valid_a,
         else jnp.zeros((pa, 256), bf).at[:na].set(pm1_a.astype(bf))
     b = pm1_b if (nb == pb and pm1_b.dtype == bf) \
         else jnp.zeros((pb, 256), bf).at[:nb].set(pm1_b.astype(bf))
-    a_aux = jnp.concatenate([
-        jnp.where(valid_a, uv_a[:, 0].astype(jnp.float32), -1e6)[:, None],
-        uv_a[:, 1].astype(jnp.float32)[:, None],
-        oct_a.astype(jnp.float32)[:, None],
-        jnp.zeros((na, 1), jnp.float32),
-    ], axis=1)
-    a_aux = jnp.pad(a_aux, ((0, pa - na), (0, 0)), constant_values=-1e6)
+    a_aux = jnp.stack([
+        jnp.where(valid_a, uv_a[:, 0].astype(jnp.float32), -1e6),
+        uv_a[:, 1].astype(jnp.float32),
+        oct_a.astype(jnp.float32),
+        jnp.zeros((na,), jnp.float32),
+    ])
+    a_aux = jnp.pad(a_aux, ((0, 4), (0, pa - na)), constant_values=-1e6)
     r_eff = jnp.where(valid_b, jnp.broadcast_to(
         jnp.asarray(radius_b, jnp.float32), (nb,)), -1.0)
     predf = pred_b.astype(jnp.float32)
     no_oct = predf < 0.0
-    b_aux = jnp.concatenate([
-        uv_b.astype(jnp.float32),
-        r_eff[:, None],
-        predf[:, None],
-        jnp.where(no_oct, -1e9, predf - 1.0)[:, None],
-        jnp.where(no_oct, 1e9, predf + 1.0)[:, None],
-        jnp.zeros((nb, 2), jnp.float32),
-    ], axis=1)
-    b_aux = jnp.pad(b_aux, ((0, pb - nb), (0, 0)), constant_values=-1.0)
+    b_aux = jnp.stack([
+        uv_b[:, 0].astype(jnp.float32),
+        uv_b[:, 1].astype(jnp.float32),
+        r_eff,
+        predf,
+        jnp.where(no_oct, -1e9, predf - 1.0),
+        jnp.where(no_oct, 1e9, predf + 1.0),
+        jnp.zeros((nb,), jnp.float32),
+        jnp.zeros((nb,), jnp.float32),
+    ])
+    b_aux = jnp.pad(b_aux, ((0, 0), (0, pb - nb)), constant_values=-1.0)
 
     grid = (pa // tile_a, pb // tile_b)
     out = pl.pallas_call(
@@ -476,9 +483,9 @@ def fused_projection_match_dual(pm1_a, uv_a, oct_a, valid_a,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_a, 256), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_a, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_a), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, 256), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_b), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_a, 128), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fishbirdeyevisualslam_tpu.config import SystemConfig
-from fishbirdeyevisualslam_tpu.geometry import se3, odometry as odo
+from fishbirdeyevisualslam_tpu.geometry import camera, se3, odometry as odo
 from fishbirdeyevisualslam_tpu.ops import bow as bow_ops
 from fishbirdeyevisualslam_tpu.ops import matcher
 from fishbirdeyevisualslam_tpu.slam import map_state as ms
@@ -208,6 +208,47 @@ def compute_loop_transform(m: ms.MapState, cur_kf, cand_kf, cfg: SystemConfig, k
     good = n_ref >= jnp.minimum(out.n_inliers, 20)
     S_ref = sim3_mod.from_se3(jnp.where(good, T_ref, T0))
     return S_ref, jnp.maximum(n_ref, out.n_inliers), out.success
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def verify_loop_projection(m: ms.MapState, cur_kf, cand_kf, T_corr,
+                           cfg: SystemConfig):
+    """The reference's FINAL loop acceptance gate (``LoopClosing::ComputeSim3``
+    tail, ``LoopClosing.cc:380-400``): project the map points of the LOOP
+    NEIGHBORHOOD (candidate KF + its covisible group) into the current KF
+    under the computed correction and count descriptor matches in a 10 px
+    window; the loop is real only if >= 40 project consistently.
+
+    This wide-context check is what kills repetitive-texture aliases: a false
+    pairwise Sim3 can align 20 repeated-marking points, but the candidate's
+    whole neighborhood will not reproject onto the current view.  Round-4 soak
+    evidence: without it, three false loops fired inside the first 100 KFs of
+    the dense-keyframe circle and bent the map irrecoverably."""
+    K = m.K
+    P = m.mp_pos.shape[0]
+    F = m.kf_uv.shape[1]
+    C = ms.covisibility_counts(m)
+    nbhd = ((C[cand_kf] > 0) | (jnp.arange(K) == cand_kf)) & m.kf_valid
+    # loop map points: observed by the neighborhood
+    from fishbirdeyevisualslam_tpu.slam.tracking import _mask_lookup
+    pts = jnp.any(_mask_lookup(nbhd, m.obs_kf) & m.obs_valid, axis=1) \
+        & m.mp_valid
+    # corrected current pose: Q = Tcw_cur o T_corr^-1 maps LOOP-world -> cam
+    Q = se3.compose(m.kf_Tcw[cur_kf], se3.inverse(T_corr))
+    pc = se3.transform(Q, m.mp_pos)
+    uv = camera.project_pinhole(cfg.camera, pc)
+    cam_cfg = cfg.camera
+    vis = pts & (pc[..., 2] > 0.1) \
+        & (uv[:, 0] >= 0) & (uv[:, 0] < cam_cfg.width) \
+        & (uv[:, 1] >= 0) & (uv[:, 1] < cam_cfg.height)
+    d_feat = desc_pm1_from_packed(m.kf_desc[cur_kf])
+    d_pts = m.mp_desc_pm1.astype(d_feat.dtype)
+    win = matcher.window_mask(m.kf_uv[cur_kf], uv, 10.0)
+    gate = m.kf_kp_valid[cur_kf][:, None] & vis[None, :] & win
+    res = matcher.match(d_feat, d_pts, gate,
+                        max_dist=float(cfg.matcher.th_low))
+    res = matcher.resolve_duplicates(res, P)
+    return jnp.sum(res.ok.astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnums=(4,))
@@ -537,6 +578,43 @@ class LoopCloser:
         self._key, k = jax.random.split(self._key)
         return k
 
+    def _odom_consistent(self, m: ms.MapState, cur_kf: int, cand: int,
+                         T_corr_se3) -> bool:
+        """SE2 relative-pose agreement between the loop-corrected geometry and
+        the wheel odometry, with a path-length-proportional tolerance."""
+        from fishbirdeyevisualslam_tpu.geometry import ipm as ipm_mod
+
+        def _yaw(q):  # wxyz quaternion -> yaw
+            w, x, y, z = q
+            return np.arctan2(2.0 * (w * z + x * y),
+                              1.0 - 2.0 * (y * y + z * z))
+
+        Tcw_corr = se3.compose(m.kf_Tcw[cur_kf], se3.inverse(T_corr_se3))
+        Twb_cur = np.asarray(ipm_mod.Twb_from_Twc(
+            cfg_ex := self.cfg.extrinsics, se3.inverse(Tcw_corr)))
+        Twb_cand = np.asarray(ipm_mod.Twb_from_Twc(
+            cfg_ex, se3.inverse(m.kf_Tcw[cand])))
+        # slam relative translation expressed in the candidate's base frame
+        yaw_k = _yaw(Twb_cand[:4])
+        d = Twb_cur[4:6] - Twb_cand[4:6]
+        c, s = np.cos(yaw_k), np.sin(yaw_k)
+        rel_slam = np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1]])
+        # odometry relative translation in the candidate's odom frame
+        od = np.asarray(m.kf_odom)
+        do = od[cur_kf, :2] - od[cand, :2]
+        ck, sk = np.cos(od[cand, 2]), np.sin(od[cand, 2])
+        rel_odom = np.array([ck * do[0] + sk * do[1],
+                             -sk * do[0] + ck * do[1]])
+        # path length between the two along the surviving keyframe timeline
+        seqs = np.asarray(m.kf_seq)
+        valid = np.asarray(m.kf_valid)
+        lo, hi = sorted((int(seqs[cur_kf]), int(seqs[cand])))
+        between = valid & (seqs >= lo) & (seqs <= hi)
+        pts = od[between][np.argsort(seqs[between])][:, :2]
+        path = float(np.sum(np.hypot(*np.diff(pts, axis=0).T))) if len(pts) > 1 else 0.0
+        tol = 0.05 * path + 0.5
+        return float(np.linalg.norm(rel_slam - rel_odom)) <= tol
+
     def process_keyframe(self, m: ms.MapState, cur_kf: int):
         """Run detection on a new KF; returns (map, closed: bool)."""
         cfg = self.cfg
@@ -584,6 +662,28 @@ class LoopCloser:
             S_corr, n_in, ok = compute_loop_transform(
                 m, jnp.int32(cur_kf), jnp.int32(cand), cfg, self._next_key())
             if not bool(ok):
+                continue
+            # FINAL acceptance: >= 40 loop-neighborhood map points must
+            # reproject onto the current KF under the correction
+            # (``LoopClosing.cc:380-400`` — the wide-context check that kills
+            # repetitive-texture false loops; soak r4 root cause)
+            from fishbirdeyevisualslam_tpu.geometry import sim3 as sim3_mod
+            T_corr_se3 = sim3_mod.to_se3(S_corr)
+            n_proj = int(verify_loop_projection(
+                m, jnp.int32(cur_kf), jnp.int32(cand), T_corr_se3, cfg))
+            if n_proj < self.cfg.tracking.loop_min_proj_matches:
+                continue
+            # odometry-consistency gate (EXTENSION past the reference, which
+            # never exploits its absolute odometry stream for loop vetting):
+            # the corrected SE2 relative pose cand -> cur must agree with the
+            # wheel-odometry relative pose within a tolerance that scales with
+            # the PATH LENGTH between them (odometry drift is path-
+            # proportional).  A repetitive-texture false loop teleports the
+            # current KF by the texture period; over the short real gap the
+            # odometry is centimeter-accurate and contradicts it, while a true
+            # loop's long path earns a metre-scale budget and passes.
+            if cfg.flags.loose_couple and not self._odom_consistent(
+                    m, cur_kf, cand, T_corr_se3):
                 continue
             self.correcting = True
             if cfg.flags.fix_scale:

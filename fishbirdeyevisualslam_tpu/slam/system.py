@@ -720,6 +720,15 @@ class SlamSystem:
             out = tr.init_mod.reinitialize(
                 cfg.camera, self.last_frame.uv, uv2, res.ok, T21_odom, self._next_key(),
             )
+            if not bool(out.success) and cfg.flags.have_bird \
+                    and cfg.tracking.min_bird_init_matches > 0:
+                # bird-seeded re-init: at small inter-frame baselines the
+                # odometry-R epipolar re-init has no parallax (soak r4: 600
+                # straight frames of failed ReInit at 0.25 m steps) — the bird
+                # keypoints carry exact metric 3D regardless of baseline, the
+                # same bridge bird_seeded_init provides at bootstrap
+                out, _ = tr.bird_seeded_init(self.last_frame, f, cfg, res,
+                                             T21_odom)
             if bool(out.success):
                 m, slot = self._append_reinit_pair(m, self.last_frame, f, out, res)
                 self.map = m
