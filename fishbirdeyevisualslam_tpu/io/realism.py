@@ -164,12 +164,14 @@ def make_real_world(cfg: SystemConfig, rc: RealismConfig = RealismConfig(),
     ground = asphalt_texture(rng, n, res)
     ground = paint_worn_markings(ground, rng, res)
     billboards = []
-    n_bb = 16 if traj is None else max(16, len(traj) // 12)
+    n_bb = 16 if traj is None else max(16, len(traj) // 8)
     for k in range(n_bb):
         if traj is not None:
-            # facades along the path (see synthetic.make_world: long
-            # trajectories leave any fixed layout)
-            i = rng.randint(0, len(traj))
+            # facades along the path, uniformly arc-spaced with jitter (see
+            # synthetic.make_world: random placement leaves structure gaps)
+            i = (k * len(traj)) // n_bb
+            i = min(len(traj) - 1,
+                    i + rng.randint(0, max(1, len(traj) // (2 * n_bb))))
             x0, y0, th0 = traj[i]
             side = rng.choice([-1, 1])
             off = rng.uniform(5, 13)

@@ -119,10 +119,14 @@ def make_world(seed=0, extent=120.0, res=0.04, n_billboards=24,
     ground = _paint_markings(ground, rng, res)
     billboards = []
     if traj is not None:
-        n_billboards = max(n_billboards, len(traj) // 12)
+        n_billboards = max(n_billboards, len(traj) // 8)
     for k in range(n_billboards):
         if traj is not None:
-            i = rng.randint(0, len(traj))
+            # UNIFORM arc spacing + jitter: purely random placement leaves
+            # multi-frame gaps with no front structure in view, and the
+            # front inlier count craters through the tracking gate there
+            i = (k * len(traj)) // n_billboards
+            i = min(len(traj) - 1, i + rng.randint(0, max(1, len(traj) // (2 * n_billboards))))
             x0, y0, th0 = traj[i]
             side = rng.choice([-1, 1])
             off = rng.uniform(5, 13)
