@@ -325,8 +325,10 @@ def render_front_real(world: RealWorld, cfg_true: SystemConfig, pose_se2):
     best_t = np.where(upd, tg2, best_t)
     color = np.where(upd, val, color)
 
-    # billboards
+    # billboards (distance-culled like synthetic.render_front)
     for bb in world.base.billboards:
+        if np.hypot(bb.origin[0] - t[0], bb.origin[1] - t[1]) > 80.0:
+            continue
         nrm = np.cross(bb.u_dir, bb.v_dir)
         denom = rays_w @ nrm
         tb = ((bb.origin - t) @ nrm) / np.where(np.abs(denom) < 1e-6, 1e-6, denom)

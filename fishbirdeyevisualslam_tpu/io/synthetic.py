@@ -268,8 +268,12 @@ def render_front(world: World, cfg: SystemConfig, pose_se2) -> np.ndarray:
     best_t = np.where(upd, tg, best_t)
     color = np.where(upd, val, color)
 
-    # billboards
+    # billboards (distance-culled: boards beyond 80 m subtend < a pixel at
+    # this focal length; trajectory-scattered worlds carry ~90 boards and the
+    # raycast loop dominates render time without the cull)
     for bb in world.billboards:
+        if np.hypot(bb.origin[0] - t[0], bb.origin[1] - t[1]) > 80.0:
+            continue
         nrm = np.cross(bb.u_dir, bb.v_dir)
         denom = rays_w @ nrm
         tb = ((bb.origin - t) @ nrm) / np.where(np.abs(denom) < 1e-6, 1e-6, denom)
