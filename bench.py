@@ -61,8 +61,12 @@ def main():
         kf_valid=m.kf_valid.at[:K].set(True),
         kf_seq=m.kf_seq.at[:K].set(jnp.arange(K)),
         n_kf=jnp.int32(K), kf_counter=jnp.int32(K),
-        obs_kf=m.obs_kf.at[:, 0].set(jnp.arange(P, dtype=jnp.int32) % K),
-        obs_valid=m.obs_valid.at[:, 0].set(True),
+        # only a window-sized slice of the map is observed by the active KFs
+        # (the covisibility local window measured ~600-3400 points in the r4
+        # soak; all-points-local would shape a window no mature map has)
+        obs_kf=m.obs_kf.at[:3072, 0].set(
+            jnp.arange(3072, dtype=jnp.int32) % K),
+        obs_valid=m.obs_valid.at[:3072, 0].set(True),
     )
 
     cam = cfg.camera

@@ -217,15 +217,21 @@ class CapacityConfig:
     """
 
     max_keyframes: int = 256
-    max_points: int = 16384
-    max_bird_points: int = 8192
+    # landmark capacities sized for a ~200 m excursion at full retention
+    # (soak r4: a 175 m course's retained multi-obs landmarks overflowed
+    # 16384/8192 and allocation starved; relieve_point_pressure is the
+    # overflow valve beyond these)
+    max_points: int = 32768
+    max_bird_points: int = 16384
     max_obs_per_point: int = 16
     max_front_kp: int = 2048          # per-frame front keypoints (pad of n_features)
     max_bird_kp: int = 2048
     max_local_kfs: int = 32           # local BA window (optimized KFs)
     max_local_observers: int = 32     # fixed observer KFs kept in local BA
     max_local_points: int = 4096      # front landmarks in the local BA problem
-    max_local_bird_points: int = 2048
+    # 4096: at full 254-KF capacity the covisibility window measured 2614 bird
+    # landmarks (soak r4 truncation probe — 566 were clipped at the old 2048)
+    max_local_bird_points: int = 4096
 
 
 @dataclasses.dataclass(frozen=True)

@@ -654,6 +654,16 @@ class SlamSystem:
             n_bird_matched = int(outb.bird_inlier.sum())
             if n_bird_matched >= 10:
                 Tcw = outb.Tcw
+        # slot-starved recovery (soak r4: a map wedged at capacity-2 while
+        # LOST blocks re-init FOREVER — its n_free > 2 gate can never pass):
+        # evict least-connected keyframes until recovery has headroom
+        if (not self.localization_only
+                and int(jnp.sum(~m.kf_valid)) <= 2
+                and int(jnp.sum(m.kf_valid)) > 10):
+            for _ in range(4):
+                m = tr.force_evict_keyframe(m, cfg)
+            self.map = m
+            self._refresh_kf_snapshot()
         # BirdNeedKF (Tracking.cc:2063-2083): when matches cover <70% of the
         # local bird map (or are nearly gone while points exist), extend the
         # bird map with a keyframe from this frame — CreateNewKeyFrame is

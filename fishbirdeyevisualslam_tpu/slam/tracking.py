@@ -1359,6 +1359,45 @@ def local_mapping_step(m: ms.MapState, new_kf, cfg: SystemConfig,
     return m
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def relieve_point_pressure(m: ms.MapState, cfg: SystemConfig,
+                           center_kf) -> ms.MapState:
+    """Capacity-pressure LANDMARK eviction (EXTENSION — the point analog of
+    ``force_evict_keyframe``).  The reference's map grows unbounded in RAM;
+    fixed-capacity arrays starve allocation once a long excursion's retained
+    multi-obs landmarks fill every slot — the r4 soak died exactly this way
+    (front matches decayed to zero in fresh terrain because triangulation
+    could no longer allocate).  When free slots drop below 1/16 of capacity,
+    retire the lowest-value eighth of the landmarks OUTSIDE the current
+    covisibility window (fewest observations first, oldest first among ties);
+    the active window is never touched."""
+    P = m.mp_pos.shape[0]
+    PB = m.bp_pos.shape[0]
+    _, _, pt_in, bpt_in = _local_window_masks(m, cfg, center_kf)
+
+    def _relieve(valid, in_window, nobs, birth, frac_evict):
+        n = valid.shape[0]
+        need = jnp.sum((~valid).astype(jnp.int32)) < n // 16
+        evictable = valid & ~in_window
+        score = jnp.where(evictable,
+                          nobs.astype(jnp.float32) * 1e6
+                          + birth.astype(jnp.float32), jnp.inf)
+        k = n // frac_evict
+        kth = -jax.lax.top_k(-score, k)[0][k - 1]
+        kill = evictable & (score <= kth) & need
+        return valid & ~kill
+
+    mp_valid = _relieve(m.mp_valid, pt_in, ms.point_obs_count(m),
+                        m.mp_first_kf, 8)
+    bnobs = jnp.sum((m.bobs_valid & m.bp_valid[:, None]).astype(jnp.int32),
+                    axis=1)
+    bp_valid = _relieve(m.bp_valid, bpt_in, bnobs, m.bp_birth, 8)
+    m = m._replace(mp_valid=mp_valid, bp_valid=bp_valid,
+                   obs_valid=m.obs_valid & mp_valid[:, None],
+                   bobs_valid=m.bobs_valid & bp_valid[:, None])
+    return ms.scrub_stale_refs(m)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def local_mapping_pre(m: ms.MapState, new_kf, cfg: SystemConfig,
                       n_neighbors: int) -> ms.MapState:
@@ -1366,6 +1405,7 @@ def local_mapping_pre(m: ms.MapState, new_kf, cfg: SystemConfig,
     Split out so the async pipeline can honor InterruptBA between the map
     maintenance and the optimization (``LocalMapping::Run`` checks
     ``mbAbortBA`` before entering BA, ``LocalMapping.cc:85-97``)."""
+    m = relieve_point_pressure(m, cfg, new_kf)
     m = local_mapping_triangulate(m, new_kf, cfg, n_neighbors)
     m = local_mapping_fuse(m, new_kf, cfg, n_neighbors)
     m = cull_points(m, cfg)
