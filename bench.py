@@ -52,8 +52,10 @@ def main():
         mp_valid=jnp.ones((P,), bool),
         mp_max_dist=jnp.full((P,), 60.0),
         mp_min_dist=jnp.full((P,), 1.0),
+        # spread so the 5 m bird window holds ~2k points (the soak measured
+        # window counts of hundreds-to-2.6k, not half the store)
         bp_pos=jnp.asarray(np.stack([
-            rng.uniform(2, 12, PB), rng.uniform(-6, 6, PB), np.zeros(PB)
+            rng.uniform(0, 25, PB), rng.uniform(-12, 12, PB), np.zeros(PB)
         ], -1).astype(np.float32)),
         bp_desc=jnp.asarray(rng.randint(0, 2**32, (PB, 8), dtype=np.uint64).astype(np.uint32)),
         bp_desc_pm1=jnp.asarray(rng.choice([-1.0, 1.0], (PB, 256)).astype(np.float32), jnp.bfloat16),

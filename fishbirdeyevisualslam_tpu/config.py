@@ -195,13 +195,13 @@ class TrackingConfig:
     # throughput where no kernel-level tuning can.  A lax.cond falls back to
     # the full-axis kernel when the visible count exceeds the cap (identical
     # semantics by construction).  0 disables.
-    # cap sizing: real runs measure ~600 local-window points and ~2k
-    # motion-model candidates (soak r4 probes); the caps sit just above the
-    # typical counts so the compact path engages in production while genuinely
-    # dense moments fall back to the full axis
+    # cap sizing: soak r4 probes measured local windows up to 3374 front /
+    # 2614 bird landmarks at full keyframe capacity and ~2k motion-model
+    # candidates; the caps sit just above those so the compact path engages
+    # in production while denser moments fall back to the full axis
     match_compact_cap: int = 2048        # motion-model match (last-frame cands)
-    local_match_compact_cap: int = 2048  # local-map match (covis window cands)
-    bird_match_compact_cap: int = 1024
+    local_match_compact_cap: int = 4096  # local-map match (covis window cands)
+    bird_match_compact_cap: int = 4096
     # loop acceptance: the candidate's covisibility-neighborhood map points
     # must reproject onto the current KF with >= this many 10 px descriptor
     # matches under the computed correction (``LoopClosing.cc:380-400``)

@@ -781,6 +781,14 @@ def track_frame_core(m: ms.MapState, f: Frame, cfg: SystemConfig,
     mp_found = m.mp_found.at[jnp.where(mp_fin >= 0, found_pid, P - 1)].add(
         (mp_fin >= 0).astype(jnp.int32))
     m = m._replace(mp_visible=mp_visible, mp_found=mp_found)
+    # per-frame bird window maintenance (UpdateBirdLocalMap runs EVERY frame
+    # in the reference, Tracking.cc:2644-2721): frame-born creation at up to
+    # ~1k points/frame saturates the bird store between keyframes if expiry
+    # only runs at mapping time (tpu_e2e r4: bp pinned at capacity, matches
+    # starving).  Runs after the second pose opt so this frame's
+    # associations stay intact; next frame re-matches.
+    if cfg.flags.have_bird and last_f is not None:
+        m = cull_bird_points(m, cfg, out2.Tcw)
     # reference-KF tracked-point counts for NeedNewKeyFrame's nRefMatches
     # (``KeyFrame::TrackedMapPoints(minObs)``, ``Tracking.cc:1478-1481``)
     if ref_kf is None:
