@@ -79,12 +79,13 @@ def main():
                      cfg, cap.max_front_kp, None, cap.max_bird_kp)
     f_last = f0._replace(odom=jnp.asarray([-0.3, 0.0, 0.0]))
     last_bp = jnp.full((cap.max_bird_kp,), -1, jnp.int32)
-    # motion-model candidates: the REAL cand_last is the union of the last
-    # frame's associations and the reference KF's points — typically ~2k
-    # distinct ids, NOT the whole map (all-ones here would benchmark a
-    # candidate density no frame ever produces)
-    cand_idx = rng.choice(P, cap.max_front_kp, replace=False)
-    cand = jnp.zeros((P,), bool).at[jnp.asarray(cand_idx)].set(True)
+    # motion-model candidates: the REAL cand_last is the id-list union of the
+    # last frame's associations and the reference KF's points (2 x F entries,
+    # ~2k valid ids, holes = -1) — exactly what SlamSystem._track_ok passes
+    cand_idx = rng.choice(P, cap.max_front_kp, replace=False).astype(np.int32)
+    cand_np = np.full(2 * cap.max_front_kp, -1, np.int32)
+    cand_np[::2] = cand_idx  # interleave holes like a real association array
+    cand = jnp.asarray(cand_np)
     Tcw = se3.identity()
 
     step = jax.jit(tr.track_frame_core, static_argnums=(2,))

@@ -206,6 +206,27 @@ class TrackingConfig:
     # must reproject onto the current KF with >= this many 10 px descriptor
     # matches under the computed correction (``LoopClosing.cc:380-400``)
     loop_min_proj_matches: int = 40
+    # EXTENSION (r4): vet accepted loops against the wheel-odometry relative
+    # pose (corrected SE2 cand->cur must agree within 0.05*path + 0.5 m).
+    # The reference never exploits its odometry stream for loop vetting; on
+    # repetitive synthetic ground texture the projection count alone aliased
+    # (3 false loops in the r4 soak).  Pinned False by reference_parity().
+    loop_odom_vet: bool = True
+    # EXTENSION (r4): landmark capacity-pressure valve — when free point
+    # slots drop below 1/16 of capacity, retire the lowest-value eighth of
+    # the landmarks outside the covisibility window so triangulation can
+    # always allocate (tracking.relieve_point_pressure).  The reference grows
+    # unbounded in RAM and has no such regime.  Pinned False by
+    # reference_parity().
+    point_pressure_valve: bool = True
+    # EXTENSION (r4): proactive LOST-path keyframe eviction — when free KF
+    # slots drop to <= 2 while LOST (re-init's headroom gate can never pass),
+    # evict least-connected keyframes so recovery isn't wedged forever.
+    # Pinned False by reference_parity().  The reactive slot-famine fallbacks
+    # at keyframe insertion are NOT gated: there the alternative is dropping
+    # the keyframe outright, a larger deviation from the (unbounded)
+    # reference than evicting the least-connected one.
+    lost_eviction_valve: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -276,10 +297,24 @@ def reference_parity() -> SystemConfig:
         LM seed; the default soft prior anchors weakly-constrained frames.
       * ``tracking.init_level0_only = True`` — SearchForInitialization is
         level-0 only in the reference (``ORBmatcher.cc:406``).
+      * ``tracking.loop_odom_vet = False`` — the reference accepts loops on
+        BoW + Sim3 inliers + the >= 40-projection check alone
+        (``LoopClosing.cc:234-403``); the odometry-consistency vet is an r4
+        extension.  (The >= 40-projection gate itself IS reference behavior
+        and stays on.)
+      * ``tracking.point_pressure_valve = False`` /
+        ``tracking.lost_eviction_valve = False`` — the reference runs
+        unbounded in RAM and never evicts.  The reactive slot-famine
+        fallbacks at keyframe insertion remain (dropping a keyframe outright
+        would deviate more); they cannot fire in a head-to-head run that
+        stays under the configured capacities.
     """
     cfg = SystemConfig()
     return cfg.replace(
         bird=dataclasses.replace(cfg.bird, filter_gate_mult=1.0),
         ba=dataclasses.replace(cfg.ba, pose_prior_info=0.0),
-        tracking=dataclasses.replace(cfg.tracking, init_level0_only=True),
+        tracking=dataclasses.replace(cfg.tracking, init_level0_only=True,
+                                     loop_odom_vet=False,
+                                     point_pressure_valve=False,
+                                     lost_eviction_valve=False),
     )

@@ -35,6 +35,12 @@ def load_map(path: str) -> MapState:
     for k in MapState._fields:
         if k in _DERIVED:
             fields[k] = desc_pm1_from_packed(jnp.asarray(data[_DERIVED[k]]))
+        elif k == "bp_gen" and k not in data:
+            # field added after older checkpoints were written; generations
+            # restart at zero (only async replay diffs consume them)
+            fields[k] = jnp.zeros(data["bp_valid"].shape[0], jnp.int32)
+        elif k == "n_pressure_evicted" and k not in data:
+            fields[k] = jnp.int32(0)
         else:
             fields[k] = jnp.asarray(data[k])
     return MapState(**fields)

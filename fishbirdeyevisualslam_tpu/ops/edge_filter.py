@@ -71,6 +71,18 @@ def otsu_threshold(img):
     return jnp.argmax(between).astype(jnp.float32)
 
 
+def _shift(x, dy: int, dx: int, fill):
+    """Neighbor shift with constant fill — NOT ``jnp.roll``: a wrap-around
+    shift treats opposite image borders as 8-connected neighbors, so strong
+    Canny edges propagate through weak chains across the border, erosion
+    wraps, and components merge across borders (ADVICE r4); OpenCV's border
+    handling never does this."""
+    H, W = x.shape
+    p = jnp.pad(x, ((1, 1), (1, 1)), constant_values=fill)
+    # same index convention as jnp.roll: result[i, j] = x[i - dy, j - dx]
+    return jax.lax.dynamic_slice(p, (1 - dy, 1 - dx), (H, W))
+
+
 def _sobel(img):
     gx = (img[1:-1, 2:] - img[1:-1, :-2]) * 2.0 \
         + (img[:-2, 2:] - img[:-2, :-2]) + (img[2:, 2:] - img[2:, :-2])
@@ -95,7 +107,7 @@ def canny(img, lo, hi, hysteresis_iters: int = 16):
     d3 = (a >= 112.5) & (a < 157.5)         # anti-diag
 
     def sh(dy, dx):
-        return jnp.roll(jnp.roll(mag, dy, 0), dx, 1)
+        return _shift(mag, dy, dx, 0.0)
 
     n1 = jnp.where(d0, sh(0, 1), jnp.where(d1, sh(1, 1),
                    jnp.where(d2, sh(1, 0), sh(1, -1))))
@@ -110,7 +122,7 @@ def canny(img, lo, hi, hysteresis_iters: int = 16):
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 if dy or dx:
-                    grown = grown | jnp.roll(jnp.roll(s, dy, 0), dx, 1)
+                    grown = grown | _shift(s, dy, dx, False)
         return grown & weak | s, None
 
     strong, _ = jax.lax.scan(body, strong, None, length=hysteresis_iters)
@@ -123,7 +135,7 @@ def erode(mask, radius: int):
     for dy in range(-radius, radius + 1):
         for dx in range(-radius, radius + 1):
             if dy or dx:
-                out = out & jnp.roll(jnp.roll(mask, dy, 0), dx, 1)
+                out = out & _shift(mask, dy, dx, False)
     return out
 
 
@@ -144,7 +156,7 @@ def component_sizes(mask, n_sweeps: int = 48):
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 if dy or dx:
-                    m = jnp.minimum(m, jnp.roll(jnp.roll(lb, dy, 0), dx, 1))
+                    m = jnp.minimum(m, _shift(lb, dy, dx, big))
         return jnp.where(mask, m, big), None
 
     lab, _ = jax.lax.scan(body, lab, None, length=n_sweeps)

@@ -77,6 +77,11 @@ class MapState(NamedTuple):
     bp_valid: jnp.ndarray      # (PB,) bool
     bp_ref_kf: jnp.ndarray     # (PB,) int32
     bp_birth: jnp.ndarray      # (PB,) int32 kf_seq of the creating KF (age culling)
+    bp_gen: jnp.ndarray        # (PB,) int32 slot generation — bumped on every
+                               # allocation (reset_bird_slots) so a freed+
+                               # recycled slot is distinguishable from the
+                               # landmark an async-mapping snapshot saw there
+                               # (a bp_valid diff alone aliases them)
     bobs_kf: jnp.ndarray       # (PB, MB) int32
     bobs_feat: jnp.ndarray     # (PB, MB) int32
     bobs_valid: jnp.ndarray    # (PB, MB) bool
@@ -87,6 +92,8 @@ class MapState(NamedTuple):
                                # the newest KF has kf_seq == kf_counter - 1
     n_mp: jnp.ndarray          # () int32 count of live front points (diagnostic)
     n_bp: jnp.ndarray          # () int32 count of live bird points (diagnostic)
+    n_pressure_evicted: jnp.ndarray  # () int32 cumulative landmarks retired by
+                               # relieve_point_pressure (valve-fire diagnostic)
 
     @property
     def K(self):
@@ -137,6 +144,7 @@ def empty_map(cfg: SystemConfig) -> MapState:
         bp_valid=jnp.zeros(PB, bool),
         bp_ref_kf=jnp.zeros(PB, i32),
         bp_birth=jnp.zeros(PB, i32),
+        bp_gen=jnp.zeros(PB, i32),
         bobs_kf=jnp.zeros((PB, MB), i32),
         bobs_feat=jnp.zeros((PB, MB), i32),
         bobs_valid=jnp.zeros((PB, MB), bool),
@@ -144,6 +152,7 @@ def empty_map(cfg: SystemConfig) -> MapState:
         kf_counter=jnp.int32(0),
         n_mp=jnp.int32(0),
         n_bp=jnp.int32(0),
+        n_pressure_evicted=jnp.int32(0),
     )
 
 
@@ -247,7 +256,12 @@ def alloc_slots(valid_mask, want):
     B = want.shape[0]
     free = ~valid_mask
     free = free.at[P - 1].set(False)
-    free_slots = jnp.nonzero(free, size=B, fill_value=-1)[0].astype(jnp.int32)
+    # first-fit free slots via ONE sort (jnp.nonzero's iota scatter is serial
+    # on TPU — ~0.2 ms per call at PB=16384, and this runs per FRAME inside
+    # bird_frame_maintenance)
+    key = jnp.where(free, jnp.arange(P, dtype=jnp.int32), P)
+    slots = jax.lax.sort(key)[:B]
+    free_slots = jnp.where(slots < P, slots, -1)
     order = jnp.cumsum(want.astype(jnp.int32)) - 1
     slot = free_slots[jnp.clip(order, 0, B - 1)]
     can = want & (slot >= 0)
@@ -273,10 +287,15 @@ def reset_point_slots(m: MapState, dest, can, first_kf) -> MapState:
 
 
 def reset_bird_slots(m: MapState, dest, can) -> MapState:
-    """Clear stale bird observation rows of slots being recycled."""
+    """Clear stale bird observation rows of slots being recycled and bump the
+    slot generation so async snapshots can tell a recycled slot from the
+    landmark they saw there (ADVICE r4: a freed-then-reallocated slot whose
+    bp_valid matched the snapshot was replayed as 'keep', attaching the new
+    frame-born landmark's observations to the unrelated old landmark)."""
     return m._replace(
         bobs_valid=m.bobs_valid.at[dest].set(
             jnp.where(can[:, None], False, m.bobs_valid[dest])),
+        bp_gen=m.bp_gen.at[dest].add(can.astype(jnp.int32)),
     )
 
 

@@ -58,6 +58,7 @@ class SlamSystem:
         self.ref_frame: Optional[Frame] = None
         self.ref_frame_id: int = -1
         self.last_frame: Optional[Frame] = None
+        self._pending_last_frame: Optional[Frame] = None  # truncated init frame
         self.last_assoc: Optional[tr.TrackObs] = None
         self.last_Tcw = se3.identity()
         self.last_kf_slot = -1
@@ -73,6 +74,7 @@ class SlamSystem:
         self.frame_times: List[float] = []  # per-frame wall time (CalExTime analog)
         self.tracer = Tracer()              # per-stage spans (SURVEY.md §5 tracing)
         self.loop_closer = lc.LoopCloser(cfg)
+        self.loop_closer.tracer = self.tracer
         self.enable_loop_closing = True
         self.n_loops_closed = 0
         # (Tcw, odom) of the last pose before a reset: the next init chains its
@@ -91,9 +93,11 @@ class SlamSystem:
         self._mapping_busy = False
         self._kf_journal = []  # KFs inserted while a loop correction ran
         self._job_bp_valid = None   # bp_valid snapshot the in-flight job sees
+        self._job_bp_gen = None     # bp_gen at snapshot (slot identity)
         self._journal_created_bp = None  # bird slots journal inserts created
         self.n_bird_replay_dropped = 0   # frame-born birds lost to slot famine
         self.n_journal_kfs_dropped = 0   # journaled KFs lost to slot famine
+        self.n_forced_kf_evictions = 0   # force_evict_keyframe fires (valves)
         self._pipeline = None
         if async_mapping:
             from fishbirdeyevisualslam_tpu.runtime.native import AsyncPipeline
@@ -205,12 +209,18 @@ class SlamSystem:
             # per-frame bird constraints right after every keyframe).  Bird
             # points journal inserts created are excluded — their keyframes
             # re-create them during journal replay below.
-            born = live.bp_valid & ~self._job_bp_valid
+            # a slot is BORN if it was free at snapshot OR its generation
+            # changed since (freed by the live per-frame cull, then recycled
+            # by bird_frame_maintenance — bp_valid alone aliases the new
+            # landmark with the one the worker kept, ADVICE r4 medium)
+            born = live.bp_valid & (
+                ~self._job_bp_valid | (live.bp_gen != self._job_bp_gen))
             if self._journal_created_bp is not None:
-                born = born & ~self._journal_created_bp
+                born = born & ~(self._journal_created_bp == live.bp_gen)
             m, remap, n_drop = tr.replay_bird_points(m, live, born)
             self.n_bird_replay_dropped += int(n_drop)
         self._job_bp_valid = None
+        self._job_bp_gen = None
         self._journal_created_bp = None
         self.map = m
         if closed:
@@ -236,6 +246,7 @@ class SlamSystem:
                     # slot-starved at merge: try the pressure valve before
                     # dropping a journaled KF (VERDICT r3 weak #8)
                     self.map = tr.force_evict_keyframe(self.map, cfg)
+                    self.n_forced_kf_evictions += 1
                     self._refresh_kf_snapshot()
                     slot_j, slot_ok, _ = tr.free_kf_slot(self.map)
                 if not bool(slot_ok):
@@ -318,7 +329,14 @@ class SlamSystem:
             # mVelocity = Tcw_cur * Twc_last (Tracking.cc:683-694)
             self._velocity = se3.compose(
                 jnp.asarray(Tcw), se3.inverse(jnp.asarray(self.last_Tcw)))
-        self.last_frame = f
+        # after a successful two-view init the frame in hand carries the
+        # DOUBLED init extraction budget; the truncated (capacity-shaped)
+        # variant must become last_frame or the next frame's programs — and a
+        # LOST -> re-init writing last_frame into a KF slot — see mismatched
+        # shapes (crash found by the r5 LOST-valve test)
+        self.last_frame = (f if self._pending_last_frame is None
+                           else self._pending_last_frame)
+        self._pending_last_frame = None
         self.last_Tcw = Tcw
         self.frame_times.append(_time.perf_counter() - _t0)
         return np.asarray(Tcw)
@@ -372,6 +390,9 @@ class SlamSystem:
             # matched features first (Tracking.cc:127-133 analog)
             f1m, f2m, res, init_out = tr.truncate_init_frames(
                 f1m, f2m, res, init_out, cfg.capacity.max_front_kp)
+            # the capacity-shaped frame must also serve as last_frame for the
+            # NEXT frame's programs (see track()'s _pending_last_frame note)
+            self._pending_last_frame = f2m
         m = tr.create_initial_map(
             f1m, f2m, init_out, cfg, res,
             jnp.asarray([self.ref_frame_id, self.frame_id], jnp.int32),
@@ -434,13 +455,11 @@ class SlamSystem:
         # device) + bird match + pose opt + TrackLocalMap + second pose opt +
         # found/visible counters, ONE device program, ONE scalar fetch
         # (VERDICT round-1 weak #2: ~15 blocking reads/frame before)
-        P = m.mp_pos.shape[0]
-        cand_last = jnp.zeros((P,), bool).at[
-            jnp.clip(self.last_assoc.mp_idx, 0, P - 1)
-        ].set(self.last_assoc.mp_idx >= 0)
-        kf_pts = m.kf_mp[self.last_kf_slot]
-        cand_last = cand_last.at[jnp.clip(kf_pts, 0, P - 1)].set(
-            cand_last[jnp.clip(kf_pts, 0, P - 1)] | (kf_pts >= 0))
+        # candidate ID LIST: last frame's associations + reference KF points
+        # (r5 — the scatter-built (P,) bool mask forced two O(P) compaction
+        # passes per frame inside the core; the id list needs none)
+        cand_last = jnp.concatenate(
+            [self.last_assoc.mp_idx, m.kf_mp[self.last_kf_slot]])
         # per-frame bird maintenance stays ON while an async mapping job is in
         # flight: points born into the live copy are journaled (diffed against
         # the job's bp_valid snapshot) and replayed into the worker's result at
@@ -547,11 +566,15 @@ class SlamSystem:
                     m2 = tr.insert_keyframe(m, f, assoc, Tcw, cfg,
                                             jnp.int32(self.frame_id), slot=slot_j)
                     # bird slots this insert created are re-created by journal
-                    # replay — exclude them from the frame-born replay diff
+                    # replay — exclude them from the frame-born replay diff.
+                    # Stored as the slot GENERATION at creation (-1 elsewhere)
+                    # so a slot later freed and recycled by frame maintenance
+                    # is no longer excluded (its gen moved on)
                     created = m2.bp_valid & ~m.bp_valid
-                    self._journal_created_bp = created if (
+                    created_gen = jnp.where(created, m2.bp_gen, -1)
+                    self._journal_created_bp = created_gen if (
                         self._journal_created_bp is None
-                    ) else (self._journal_created_bp | created)
+                    ) else jnp.maximum(self._journal_created_bp, created_gen)
                     self.map = m2
                     self._kf_journal.append(dict(
                         f=f, assoc=assoc, Tcw=np.asarray(Tcw),
@@ -576,6 +599,7 @@ class SlamSystem:
                 # the least-connected eligible KF (sliding-window pressure
                 # valve) so insertion NEVER dies at capacity
                 m = tr.force_evict_keyframe(m, cfg)
+                self.n_forced_kf_evictions += 1
                 self.map = m
                 self._refresh_kf_snapshot()
                 slot_j, slot_ok, _ = tr.free_kf_slot(m)
@@ -592,6 +616,7 @@ class SlamSystem:
                 self.map = m
                 self._mapping_busy = True
                 self._job_bp_valid = m.bp_valid  # replay diff base (immutable)
+                self._job_bp_gen = m.bp_gen      # slot identity at snapshot
                 job_id = self.frame_id
                 self._mapping_jobs[job_id] = (m, new_slot, self.last_kf_slot, self.frame_id)
                 self._pipeline.submit(job_id)
@@ -658,10 +683,12 @@ class SlamSystem:
         # LOST blocks re-init FOREVER — its n_free > 2 gate can never pass):
         # evict least-connected keyframes until recovery has headroom
         if (not self.localization_only
+                and cfg.tracking.lost_eviction_valve
                 and int(jnp.sum(~m.kf_valid)) <= 2
                 and int(jnp.sum(m.kf_valid)) > 10):
             for _ in range(4):
                 m = tr.force_evict_keyframe(m, cfg)
+                self.n_forced_kf_evictions += 1
             self.map = m
             self._refresh_kf_snapshot()
         # BirdNeedKF (Tracking.cc:2063-2083): when matches cover <70% of the
@@ -825,12 +852,14 @@ class SlamSystem:
         self.state = tr.NOT_INITIALIZED
         self.ref_frame = None
         self.ref_frame_id = -1
+        self._pending_last_frame = None
         self.last_assoc = None
         self.last_kf_slot = -1
         self.last_kf_frame_id = -1
         self.ref_kf_tracked = 0
         self.n_lost_frames = 0
         self.loop_closer = lc.LoopCloser(self.cfg)
+        self.loop_closer.tracer = self.tracer
 
     def activate_localization_mode(self):
         """``System::ActivateLocalizationMode``: stop inserting keyframes /
@@ -867,7 +896,8 @@ class SlamSystem:
         """Median/mean per-frame tracking time (the reference prints these at
         exit, ``mono_encoder.cc:202-210``)."""
         if not self.frame_times:
-            return {"median_s": 0.0, "mean_s": 0.0, "fps": 0.0}
+            return {"median_s": 0.0, "mean_s": 0.0, "fps": 0.0,
+                    "stages": self.tracer.report()}
         t = np.sort(np.asarray(self.frame_times))
         return {
             "median_s": float(t[len(t) // 2]),

@@ -6,9 +6,15 @@ deliberate deviation back to reference semantics (filter_gate_mult=1,
 pose_prior_info=0, level-0-only init matching) — and prints the table STATUS
 records.  CPU (the e2e tier's backend)."""
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ["JAX_PLATFORMS"] = "cpu"
+TPU_MODE = os.environ.get("FBEV_EVAL_TPU", "") == "1"
+if not TPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
-jax.config.update("jax_platforms", "cpu")
+if TPU_MODE:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fbev_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+else:
+    jax.config.update("jax_platforms", "cpu")
 
 from fishbirdeyevisualslam_tpu.config import SystemConfig, reference_parity
 from scripts.robustness_eval import run

@@ -7,10 +7,16 @@ model.  This is the closest available stand-in for real imagery in a
 zero-egress environment: the estimator's assumed models are systematically
 WRONG about the world that generated the pixels."""
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ["JAX_PLATFORMS"] = "cpu"
+TPU_MODE = os.environ.get("FBEV_EVAL_TPU", "") == "1"
+if not TPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 import numpy as np
 import jax
-jax.config.update("jax_platforms", "cpu")
+if TPU_MODE:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fbev_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+else:
+    jax.config.update("jax_platforms", "cpu")
 
 from fishbirdeyevisualslam_tpu.config import SystemConfig
 from fishbirdeyevisualslam_tpu.io import realism, synthetic

@@ -87,6 +87,14 @@ def main(n_frames=700):
           f"dead_anchors={len(sys_._dead_kf_poses)} "
           f"loops={sys_.n_loops_closed}", flush=True)
     print(f"SOAK ATE={ate:.4f} m  ATE(last 100)={ate_tail:.4f} m", flush=True)
+    print(f"SOAK valves: pressure_evicted={int(m.n_pressure_evicted)} "
+          f"forced_kf_evictions={sys_.n_forced_kf_evictions} "
+          f"journal_kfs_dropped={sys_.n_journal_kfs_dropped}", flush=True)
+    ld = sys_.timing_stats().get("stages", {}).get("loop_detect")
+    if ld:
+        print(f"SOAK loop_detect: {ld['count']} probes, "
+              f"mean {ld['mean_s']*1e3:.1f} ms, max {ld['max_s']*1e3:.1f} ms",
+              flush=True)
     # per-frame wall-time histogram INCLUDING keyframe frames (VERDICT r3
     # missing #3: the keyframe-stall time was unmeasured post-compaction)
     ft = np.asarray(sys_.frame_times)
