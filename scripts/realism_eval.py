@@ -27,9 +27,9 @@ from fishbirdeyevisualslam_tpu.slam import tracking as tr
 
 
 def run(n_frames=80, kind="circle", noise=0.02, seed=0, degraded=False,
-        rc=None):
+        rc=None, cfg=None, tag=""):
     import jax.numpy as jnp
-    cfg = SystemConfig()
+    cfg = cfg or SystemConfig()
     seq = realism.make_real_sequence(
         cfg, n_frames=n_frames, kind=kind, odom_noise=noise, seed=seed,
         rc=rc or realism.RealismConfig(),
@@ -44,7 +44,7 @@ def run(n_frames=80, kind="circle", noise=0.02, seed=0, degraded=False,
     ate = float(ate_rmse_vs_gt(est, seq.gt))
     dead = np.stack([np.asarray(odo.se2_to_se3(jnp.asarray(o))) for o in seq.odom])
     ate_odo = float(ate_rmse_vs_gt(dead, seq.gt))
-    print(f"[realism] kind={kind} n={n_frames} noise={noise} seed={seed} "
+    print(f"[realism]{tag} kind={kind} n={n_frames} noise={noise} seed={seed} "
           f"degraded={degraded}: "
           f"lost={sum(s == tr.LOST for s in states)} "
           f"kf={int(sys_.map.n_kf) if sys_.map is not None else 0} "
@@ -57,3 +57,9 @@ if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 80
     run(n, "circle", 0.02, 0, degraded=False)
     run(n, "circle", 0.02, 0, degraded=True)
+    if "--parity" in sys.argv:
+        from fishbirdeyevisualslam_tpu.config import reference_parity
+        run(n, "circle", 0.02, 0, degraded=False, cfg=reference_parity(),
+            tag="[parity]")
+        run(n, "circle", 0.02, 0, degraded=True, cfg=reference_parity(),
+            tag="[parity]")

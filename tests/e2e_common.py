@@ -17,16 +17,15 @@ from fishbirdeyevisualslam_tpu.config import SystemConfig, CapacityConfig
 
 def e2e_config(**capacity_overrides) -> SystemConfig:
     cfg = SystemConfig()
-    cap = dataclasses.replace(
-        cfg.capacity,
+    kw = dict(
         max_keyframes=64,
         max_points=8192,
         max_bird_points=4096,
         max_local_points=2048,
         max_local_bird_points=1024,
-        **capacity_overrides,
     )
-    return cfg.replace(capacity=cap)
+    kw.update(capacity_overrides)
+    return cfg.replace(capacity=dataclasses.replace(cfg.capacity, **kw))
 
 
 E2E_CFG = e2e_config()

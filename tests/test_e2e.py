@@ -84,86 +84,5 @@ class TestDegradedSensors:
         assert ate < 0.4, ate
 
 
-class TestKeyframeCapacitySoak:
-    """VERDICT round-2 missing #1: the map must keep inserting keyframes past
-    ``max_keyframes`` LIFETIME insertions — culled/evicted slots recycle."""
-
-    def test_insertion_survives_saturation(self):
-        from fishbirdeyevisualslam_tpu.config import CapacityConfig, TrackingConfig
-        import dataclasses
-        cfg = SystemConfig()
-        cfg = cfg.replace(
-            capacity=dataclasses.replace(cfg.capacity, max_keyframes=8),
-            tracking=dataclasses.replace(cfg.tracking, max_frames_between_kf=2),
-        )
-        seq = synthetic.make_sequence(cfg, n_frames=36, kind="arc", step=0.4)
-        sys_ = SlamSystem(cfg)
-        for i, fr in enumerate(seq.frames):
-            sys_.track(fr["front"], fr["bird"], fr["mask"], seq.odom[i],
-                       fr["timestamp"])
-        m = sys_.map
-        assert m is not None
-        # more lifetime insertions than slots -> recycling actually happened
-        assert int(m.kf_counter) > 8 + 2, int(m.kf_counter)
-        assert int(m.kf_valid.sum()) <= 8
-        # tracking survived the whole sequence at capacity
-        states = [e.state for e in sys_.trajectory]
-        assert states[-1] == 1
-        assert sum(s == 1 for s in states) >= len(states) - 6
-        # trajectory export stays sane: culled reference KFs fall back to
-        # their cull-time pose instead of composing against a recycled slot
-        est = sys_.frame_trajectory_Twb()
-        ate = ate_rmse_vs_gt(est, seq.gt)
-        assert ate < 0.3, ate
-
-
-class TestFlagMatrix:
-    """The five behavior globals (``src/System.cc:30-34``) must be actually
-    switchable (VERDICT round-2 missing #2): each off-config tracks the arc
-    without crashing and with bounded ATE."""
-
-    def _run(self, flags_kw, n_frames=10):
-        import dataclasses
-        cfg = SystemConfig()
-        cfg = cfg.replace(flags=dataclasses.replace(cfg.flags, **flags_kw))
-        seq = synthetic.make_sequence(cfg, n_frames=n_frames, kind="arc", step=0.5)
-        sys_ = SlamSystem(cfg)
-        for i, fr in enumerate(seq.frames):
-            sys_.track(fr["front"], fr["bird"], fr["mask"], seq.odom[i],
-                       fr["timestamp"])
-        states = [e.state for e in sys_.trajectory]
-        assert states[-1] == 1, flags_kw
-        est = sys_.frame_trajectory_Twb()
-        return ate_rmse_vs_gt(est, seq.gt), sys_
-
-    def test_have_bird_off(self):
-        ate, sys_ = self._run(dict(have_bird=False))
-        # no bird landmarks may exist anywhere
-        assert int(sys_.map.bp_valid.sum()) == 0
-        assert ate < 0.3, ate
-
-    def test_tight_couple_off(self):
-        ate, _ = self._run(dict(tight_couple=False))
-        assert ate < 0.3, ate
-
-    def test_fix_scale_off(self):
-        ate, _ = self._run(dict(fix_scale=False))
-        assert ate < 0.3, ate
-
-    def test_loose_couple_off(self):
-        # no odometry prior / scale: monocular-only regime; the map is scale
-        # ambiguous so only require a successful init + tracking
-        import dataclasses
-        cfg = SystemConfig()
-        cfg = cfg.replace(flags=dataclasses.replace(cfg.flags, loose_couple=False))
-        seq = synthetic.make_sequence(cfg, n_frames=10, kind="arc", step=0.5)
-        sys_ = SlamSystem(cfg)
-        for i, fr in enumerate(seq.frames):
-            sys_.track(fr["front"], fr["bird"], fr["mask"], seq.odom[i],
-                       fr["timestamp"])
-        states = [e.state for e in sys_.trajectory]
-        assert sum(s == 1 for s in states) >= 5
-
-
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
