@@ -52,11 +52,17 @@ def detect_loop_scores(m: ms.MapState, cur_kf, cfg: SystemConfig):
     """Returns (scores (K,), min_score, candidate_mask) — BoW scores of the
     current KF against all others, the reference's covisible min-score, and the
     eligibility mask (valid, not covisible, not temporally adjacent)."""
+    return _detect_loop_scores_from_covis(m, cur_kf, ms.covisibility_counts(m))
+
+
+def _detect_loop_scores_from_covis(m: ms.MapState, cur_kf, C):
+    """As :func:`detect_loop_scores` but reusing a precomputed (K, K) covis
+    matrix so callers that need both (e.g. ``detect_loop_groups``) build the
+    observation matmul once per probe instead of twice."""
     K = m.K
     words = m.kf_words[cur_kf]
     valid = m.kf_kp_valid[cur_kf]
     scores = bow_ops.score_against_keyframes(words, valid, m.kf_words, m.kf_kp_valid)
-    C = ms.covisibility_counts(m)
     covis = C[cur_kf] > 0
     # min score among covisible neighbors (DetectLoop's baseline)
     neigh_scores = jnp.where(covis & m.kf_valid, scores, jnp.inf)
@@ -97,10 +103,10 @@ def detect_loop_groups(m: ms.MapState, cur_kf, cfg: SystemConfig,
     accumulated score: (best_member (n,), acc_score (n,), group_mask (n, K),
     min_score ()).  Consistency over groups is host state in ``LoopCloser``."""
     K = m.K
-    scores, min_score, eligible = detect_loop_scores(m, cur_kf, cfg)
+    C = ms.covisibility_counts(m)
+    scores, min_score, eligible = _detect_loop_scores_from_covis(m, cur_kf, C)
     floor = jnp.maximum(min_score, 0.02)
     cand = eligible & (scores >= floor)
-    C = ms.covisibility_counts(m)
     groups = _covis_group_masks(C, m.kf_valid)            # (K, K)
     member = groups & cand[None, :]                        # group ∩ candidates
     s = jnp.where(member, scores[None, :], 0.0)

@@ -165,30 +165,41 @@ def covisibility_counts(m: MapState) -> jnp.ndarray:
     """(K, K) int32: number of shared front map points between KF pairs — the
     covisibility graph (reference ``KeyFrame::UpdateConnections`` weight, th=15).
 
-    Built by one segment-sum over the observation blocks: for every landmark the
-    (M x M) pairs of observing KFs each contribute 1.
+    Built as ONE MXU matmul: A (K, P) = "KF k observes landmark p" (binary,
+    any obs slot), C = A·Aᵀ with f32 accumulation — exact for 0/1 operands.
+    The previous scatter-add over (P, M, M) slot pairs lowered to a SERIAL
+    TPU scatter of P·M² elements (8.4M at the shipped capacities) and
+    dominated every loop-detect probe; the matmul form is the same
+    one-hot-contraction rewrite that fixed the BA assembly in round 4.
+    (Binary membership is also the reference's semantics — a shared POINT
+    counts once however many obs slots reference it.)
     """
     K = m.K
-    P, M = m.obs_kf.shape
-    v = m.obs_valid & m.mp_valid[:, None]
-    pair = (v[:, :, None] & v[:, None, :]).astype(jnp.int32)  # (P, M, M)
-    i = jnp.broadcast_to(m.obs_kf[:, :, None], (P, M, M))
-    j = jnp.broadcast_to(m.obs_kf[:, None, :], (P, M, M))
-    C = jnp.zeros((K, K), jnp.int32).at[i, j].add(pair)
+    A = _obs_matrix(m.obs_kf, m.obs_valid & m.mp_valid[:, None], K)
+    C = jax.lax.dot_general(A, A, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32).astype(jnp.int32)
     C = C - jnp.diag(jnp.diag(C))  # no self-edges
     return C
+
+
+def _obs_matrix(obs_kf, obs_ok, K: int) -> jnp.ndarray:
+    """(K, P) bf16 0/1 KF-observes-landmark membership from landmark-major obs
+    blocks — M fused elementwise compare passes, no scatter."""
+    P, M = obs_kf.shape
+    ks = jnp.arange(K, dtype=jnp.int32)[:, None]
+    hit = jnp.zeros((K, P), bool)
+    for s in range(M):
+        hit = hit | ((obs_kf[:, s][None, :] == ks) & obs_ok[:, s][None, :])
+    return hit.astype(jnp.bfloat16)
 
 
 def bird_covisibility_counts(m: MapState) -> jnp.ndarray:
     """(K, K): shared MapPointBird counts (``KeyFrame::UpdateBirdConnections``,
     th=2, ``src/KeyFrame.cc:418-562``)."""
     K = m.K
-    PB, MB = m.bobs_kf.shape
-    v = m.bobs_valid & m.bp_valid[:, None]
-    pair = (v[:, :, None] & v[:, None, :]).astype(jnp.int32)
-    i = jnp.broadcast_to(m.bobs_kf[:, :, None], (PB, MB, MB))
-    j = jnp.broadcast_to(m.bobs_kf[:, None, :], (PB, MB, MB))
-    C = jnp.zeros((K, K), jnp.int32).at[i, j].add(pair)
+    A = _obs_matrix(m.bobs_kf, m.bobs_valid & m.bp_valid[:, None], K)
+    C = jax.lax.dot_general(A, A, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32).astype(jnp.int32)
     return C - jnp.diag(jnp.diag(C))
 
 
