@@ -250,9 +250,11 @@ class CapacityConfig:
     max_local_kfs: int = 32           # local BA window (optimized KFs)
     max_local_observers: int = 32     # fixed observer KFs kept in local BA
     max_local_points: int = 4096      # front landmarks in the local BA problem
-    # 4096: at full 254-KF capacity the covisibility window measured 2614 bird
-    # landmarks (soak r4 truncation probe — 566 were clipped at the old 2048)
-    max_local_bird_points: int = 4096
+    # 8192: the r5 700-frame dense-KF soak peaked at 9553 in-window bird
+    # landmarks (5457 clipped at the old 4096); 8192 costs 233 vs 181 ms per
+    # local BA (scripts/bench_local_ba_birdcap.py) and the constraint-priority
+    # compaction drops only the weakest tail in the rare saturated regime
+    max_local_bird_points: int = 8192
 
 
 @dataclasses.dataclass(frozen=True)
