@@ -151,18 +151,15 @@ def _detect_level(img_l, cfg: OrbConfig, n_l: int):
     return yx, resp, valid, sub_dy, sub_dx
 
 
-def _extract_impl(img, cfg: OrbConfig, n_features: int, detection_mask=None) -> Keypoints:
-    """Extract exactly ``n_features`` (padded) ORB keypoints from a grayscale
-    float32 (H, W) image.  ``detection_mask`` (H, W) bool, if given, suppresses
-    detections outside it (the reference applies front masks and the bird-view
-    freespace mask, ``mono_encoder.cc:144-158``, ``Frame.cc:337-339``).
-
-    All pyramid levels share ONE patch gather and ONE descriptor pipeline: the
-    padded level images are stacked vertically into a single atlas, keypoint
-    rows are offset into it, and the (N_total, 37, 37) patch batch flows
-    through blur/orientation/rBRIEF once — 2 patch-kernel launches per frame
-    instead of 16, and the descriptor matmul runs at full batch (8 skinny
-    per-level matmuls starved the MXU)."""
+def _detect_patches(img, cfg: OrbConfig, n_features: int):
+    """Detection + patch-gather phase of ``_extract_impl``: FAST + per-cell
+    top-k on every pyramid level, then ONE (N, 37, 37) patch gather from the
+    vertical level atlas.  Returns ``(patches37, partial_kp)`` where
+    ``partial_kp`` is a Keypoints with desc/desc_pm1/angle left as None —
+    ``_describe_patches`` fills them.  Split out so ``build_frame`` can run
+    the descriptor matmul ONCE over the concatenated front+bird patch batch
+    (two half-batch (2048, 1369)x(1369, 8192) sampler matmuls cost ~0.5
+    ms/frame; the shared (4096, ...) one amortizes the fixed costs)."""
     budgets = image_ops.per_level_budget(n_features, cfg.n_levels, cfg.scale_factor)
     pyr = image_ops.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
     pad = orb_ops.HALF + _BLUR_R
@@ -196,18 +193,6 @@ def _extract_impl(img, cfg: OrbConfig, n_features: int, detection_mask=None) -> 
             lambda p: jax.lax.dynamic_slice(atlas, (p[0], p[1]), (side, side))
         )(yx_all)
 
-    patches = patches37[:, _BLUR_R: _BLUR_R + orb_ops.PATCH,
-                        _BLUR_R: _BLUR_R + orb_ops.PATCH]
-    ang = orb_ops.orientations(patches)
-    if jax.default_backend() == "tpu":
-        # blur folded into the sampling matmul (orb.descriptors_from_raw37):
-        # the runtime 7-tap blur + bf16 reshape chain measured ~0.35 ms/frame
-        bits = orb_ops.descriptors_from_raw37(patches37, ang)
-    else:
-        bits = orb_ops.descriptors(_blur_patches(patches37), ang)
-    packed = orb_ops.pack_bits(bits)
-    pm1 = orb_ops.bits_to_pm1(bits)
-
     xy0 = jnp.concatenate([
         jnp.stack([sels[l][0][:, 1].astype(jnp.float32) + sels[l][4],
                    sels[l][0][:, 0].astype(jnp.float32) + sels[l][3]], axis=-1)
@@ -217,18 +202,84 @@ def _extract_impl(img, cfg: OrbConfig, n_features: int, detection_mask=None) -> 
     valid = jnp.concatenate([sels[l][2] for l in range(cfg.n_levels)])
     lvl = jnp.concatenate([
         jnp.full((budgets[l],), l, jnp.int32) for l in range(cfg.n_levels)])
+    kp = Keypoints(xy0, jnp.where(valid, resp, 0.0), None, lvl, valid,
+                   None, None)
+    return patches37, kp
+
+
+def _describe_patches(patches37, valid=None):
+    """Orientation + rBRIEF over a (N, 37, 37) raw patch batch.
+    Returns (ang, packed, pm1)."""
+    patches = patches37[:, _BLUR_R: _BLUR_R + orb_ops.PATCH,
+                        _BLUR_R: _BLUR_R + orb_ops.PATCH]
+    ang = orb_ops.orientations(patches)
+    if jax.default_backend() == "tpu":
+        # blur folded into the sampling matmul; keypoints grouped by angle
+        # bin so each group contracts only its own sampler slab (~1/16 the
+        # FLOPs of the select-all-bins form — orb.descriptors_from_raw37_binned)
+        bits = orb_ops.descriptors_from_raw37_binned(patches37, ang,
+                                                     valid=valid)
+    else:
+        bits = orb_ops.descriptors(_blur_patches(patches37), ang)
+    return ang, orb_ops.pack_bits(bits), orb_ops.bits_to_pm1(bits)
+
+
+def _finish_keypoints(kp: Keypoints, ang, packed, pm1, img_shape,
+                      detection_mask=None) -> Keypoints:
+    """Attach descriptors to a ``_detect_patches`` partial result and apply
+    the detection-mask gate."""
+    valid = kp.valid
     # zero out invalid slots' descriptors so they never match anything real
     packed = jnp.where(valid[:, None], packed, 0)
     pm1 = jnp.where(valid[:, None], pm1, jnp.zeros_like(pm1))
-    kp = Keypoints(xy0, jnp.where(valid, resp, 0.0), ang, lvl, valid, packed, pm1)
+    kp = kp._replace(angle=ang, desc=packed, desc_pm1=pm1)
     if detection_mask is not None:
         # gate keypoints whose level-0 coords fall outside the mask
-        xi = jnp.clip(kp.xy[:, 0].astype(jnp.int32), 0, img.shape[1] - 1)
-        yi = jnp.clip(kp.xy[:, 1].astype(jnp.int32), 0, img.shape[0] - 1)
+        xi = jnp.clip(kp.xy[:, 0].astype(jnp.int32), 0, img_shape[1] - 1)
+        yi = jnp.clip(kp.xy[:, 1].astype(jnp.int32), 0, img_shape[0] - 1)
         inside = detection_mask[yi, xi]
         kp = kp._replace(valid=kp.valid & inside,
                          response=jnp.where(inside, kp.response, 0.0))
     return kp
+
+
+def _extract_impl(img, cfg: OrbConfig, n_features: int, detection_mask=None) -> Keypoints:
+    """Extract exactly ``n_features`` (padded) ORB keypoints from a grayscale
+    float32 (H, W) image.  ``detection_mask`` (H, W) bool, if given, suppresses
+    detections outside it (the reference applies front masks and the bird-view
+    freespace mask, ``mono_encoder.cc:144-158``, ``Frame.cc:337-339``).
+
+    All pyramid levels share ONE patch gather and ONE descriptor pipeline: the
+    padded level images are stacked vertically into a single atlas, keypoint
+    rows are offset into it, and the (N_total, 37, 37) patch batch flows
+    through blur/orientation/rBRIEF once — 2 patch-kernel launches per frame
+    instead of 16, and the descriptor matmul runs at full batch (8 skinny
+    per-level matmuls starved the MXU)."""
+    patches37, kp = _detect_patches(img, cfg, n_features)
+    ang, packed, pm1 = _describe_patches(patches37, kp.valid)
+    return _finish_keypoints(kp, ang, packed, pm1, img.shape, detection_mask)
+
+
+def extract_dual(img_a, img_b, cfg: OrbConfig, n_a: int, n_b: int,
+                 mask_b=None):
+    """Front+bird extraction with ONE shared descriptor pipeline: both views'
+    (N, 37, 37) patch batches are concatenated so orientation and the rBRIEF
+    sampler matmul run once at (n_a + n_b) batch — same results as two
+    ``_extract_impl`` calls (the per-row math is independent), ~0.2 ms/frame
+    cheaper at 2048+2048 (the (2048, 1369)x(1369, 8192) sampler ran twice).
+    The patch GATHER stays per-image: each vertical level atlas must fit VMEM
+    alone (~11 MB for the front view)."""
+    pa, kpa = _detect_patches(img_a, cfg, n_a)
+    pb, kpb = _detect_patches(img_b, cfg, n_b)
+    ang, packed, pm1 = _describe_patches(
+        jnp.concatenate([pa, pb], axis=0),
+        jnp.concatenate([kpa.valid, kpb.valid], axis=0))
+    na = pa.shape[0]
+    kp_a = _finish_keypoints(kpa, ang[:na], packed[:na], pm1[:na],
+                             img_a.shape, None)
+    kp_b = _finish_keypoints(kpb, ang[na:], packed[na:], pm1[na:],
+                             img_b.shape, mask_b)
+    return kp_a, kp_b
 
 
 # The public entry point is jitted (the 8-level eager graph is hundreds of tiny

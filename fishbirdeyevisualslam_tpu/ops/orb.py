@@ -131,6 +131,78 @@ def _blur_folded_tables(n_bins: int) -> np.ndarray:
     return S.astype(np.float32)
 
 
+def descriptors_from_raw37_binned(patches37, angles,
+                                  n_bins: int = N_ANGLE_BINS,
+                                  cap: int | None = None,
+                                  valid=None):
+    """rBRIEF from raw (N, 37, 37) windows, GROUPED BY ANGLE BIN (r5 perf).
+
+    ``descriptors_from_raw37`` computes the sampler matmul for ALL ``n_bins``
+    rotations of every keypoint and one-hot-selects the right one — 16x the
+    necessary FLOPs at 32 bins (0.5 ms/frame at 4096 keypoints on v5e, 46% of
+    bf16 MXU peak: compute-bound, so the waste is real).  Here keypoints are
+    grouped by their quantized bin with one sort, each bin's group (padded to
+    ``cap`` rows) is contracted against ONLY its own (1369, 256) sampler
+    slab as one batched matmul, and results are gathered back — identical
+    bits, ~1/16 the FLOPs.  Falls back to the full sampler via ``lax.cond``
+    when any bin overflows ``cap`` (default 3x the uniform share; angle
+    distributions are near-uniform on natural images, but e.g. axis-aligned
+    synthetic worlds can cluster).
+
+    ``valid`` (N,) bool, if given, spreads INVALID slots' bins uniformly:
+    padded keypoint slots all read the same dummy patch and so share one
+    angle — without the spread a frame with > ``cap`` empty slots would
+    permanently take the fallback.  Their descriptors are garbage either way
+    and are zeroed by the caller."""
+    n = patches37.shape[0]
+    if cap is None:
+        cap = max(128, -(-3 * n // n_bins))
+    cap = min(cap, n)
+    flat = patches37.reshape(n, -1).astype(jnp.bfloat16)
+    K = flat.shape[1]
+    S = _blur_folded_tables(n_bins)           # (K, n_bins*256) f32
+    Sb = jnp.asarray(
+        S.reshape(K, n_bins, N_BITS).transpose(1, 0, 2), jnp.bfloat16)
+    bin_id = quantize_angle_bin(angles, n_bins)
+    if valid is not None:
+        bin_id = jnp.where(valid, bin_id,
+                           jnp.arange(n, dtype=jnp.int32) % n_bins)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    # group by bin: ONE sort of bin*n+idx gives contiguous per-bin runs
+    sorted_key = jax.lax.sort(bin_id * n + iota)
+    src = sorted_key % n                      # original keypoint per sorted pos
+    sbin = sorted_key // n
+    counts = jnp.sum((bin_id[None, :] == jnp.arange(n_bins)[:, None])
+                     .astype(jnp.int32), axis=1)
+    starts = jnp.cumsum(counts) - counts
+    rank = iota - starts[sbin]                # position within the bin's run
+    slot = sbin * cap + rank                  # padded (n_bins*cap) slot id
+    # invert the sort permutation with a second small sort (not a gather of
+    # scattered state): inv[i] = sorted position of original keypoint i
+    inv = jax.lax.sort(src * n + iota) % n
+    fits = jnp.max(counts) <= cap
+
+    def binned(_):
+        ncap = n_bins * cap
+        slot_ok = rank < cap
+        # slot -> source row map; overflow/empty slots read row 0 (their
+        # descriptors are garbage and never gathered back)
+        slot_src = jnp.zeros((ncap,), jnp.int32).at[
+            jnp.where(slot_ok, slot, ncap)].set(src, mode="drop")
+        g = flat[slot_src].reshape(n_bins, cap, K)
+        D = jax.lax.dot_general(
+            g, Sb, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (n_bins, cap, 256)
+        bits_all = (D > 0).reshape(ncap, N_BITS)
+        slot_of = jnp.clip(slot[inv], 0, ncap - 1)    # keypoint -> its slot
+        return bits_all[slot_of].astype(jnp.uint8)
+
+    def full(_):
+        return descriptors_from_raw37(patches37, angles, n_bins)
+
+    return jax.lax.cond(fits, binned, full, None)
+
+
 def descriptors_from_raw37(patches37, angles, n_bins: int = N_ANGLE_BINS):
     """rBRIEF directly from RAW (N, 37, 37) gather windows (blur folded into
     the sampling matrix — see ``_blur_folded_tables``).  TPU matmul path only;

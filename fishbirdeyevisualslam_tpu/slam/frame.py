@@ -70,18 +70,18 @@ def build_frame(
     n_bird_features: int = 0,   # 0 -> same as n_features
 ) -> Frame:
     orbc = cfg.orb
-    kp = features._extract_impl(front_gray, orbc, n_features)
-    uv_und = cam_ops.undistort_fisheye(cfg.camera, kp.xy)
-    uv_und = jnp.where(kp.valid[:, None], uv_und, 0.0)
-
     # bird keypoints restricted to freespace; with a contour label image also
     # to the contour neighborhood (``GuidenceKeyBirdPts``, ``Frame.cc:671-739``)
     det_mask = bird_mask > 0
     if contour is not None:
         det_mask = bird_detection_mask(bird_mask, contour)
-    bkp = features._extract_impl(
-        bird_gray, orbc, n_bird_features or n_features, detection_mask=det_mask
-    )
+    # both views share ONE orientation + rBRIEF-sampler pipeline (r5 perf:
+    # the (2048, 1369)x(1369, 8192) descriptor matmul ran once per view)
+    kp, bkp = features.extract_dual(
+        front_gray, bird_gray, orbc, n_features,
+        n_bird_features or n_features, mask_b=det_mask)
+    uv_und = cam_ops.undistort_fisheye(cfg.camera, kp.xy)
+    uv_und = jnp.where(kp.valid[:, None], uv_und, 0.0)
     base = ipm.bird_pixel_to_base_xy(cfg.bird, bkp.xy)
     cam = ipm.base_xyz_to_cam(cfg.extrinsics, base)
 

@@ -556,8 +556,34 @@ def match_map_points(
     return res, vis
 
 
+def bird_match_precompact(m: ms.MapState, cfg: SystemConfig, Tcw_pred, cand_mask):
+    """Candidate compaction for ``match_bird_points``, computed ONCE per frame
+    at the predicted pose and reused by both bird match calls (r5 perf): the
+    sort-based compaction plus the O(PB) projection/gate pass cost more than
+    the match kernel they feed, and the pose moves millimeters between the two
+    pose opts while the 5 m window and 30 px search radius are meters/dozens
+    of pixels wide — the same argument that already shares ``bwin`` across the
+    two calls.  Returns (sel, mask, fits) or None when the fused compact path
+    is off."""
+    PB = m.bp_pos.shape[0]
+    cap = cfg.tracking.bird_match_compact_cap
+    if not (cfg.tracking.use_fused_matcher and jax.default_backend() == "tpu"
+            and 0 < cap < PB):
+        return None
+    from fishbirdeyevisualslam_tpu.geometry import ipm as ipm_mod
+    pc = se3.transform(Tcw_pred, m.bp_pos)
+    p_base = ipm_mod.cam_xyz_to_base(cfg.extrinsics, pc)
+    vis = cand_mask & m.bp_valid & (jnp.abs(p_base[:, 2]) < cfg.bird.plane_gate)
+    n_vis = jnp.sum(vis.astype(jnp.int32))
+    key = jnp.where(vis, jnp.arange(PB, dtype=jnp.int32), PB)
+    sel = jnp.minimum(jax.lax.sort(key)[:cap], PB - 1)
+    mask = jnp.arange(cap) < n_vis
+    return sel, mask, n_vis <= cap
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
-def match_bird_points(m: ms.MapState, f: Frame, cfg: SystemConfig, Tcw_pred, cand_mask):
+def match_bird_points(m: ms.MapState, f: Frame, cfg: SystemConfig, Tcw_pred,
+                      cand_mask, precomp=None):
     """``BirdMapPointMatch`` (``ORBmatcher.cc:1763-1902``): project MapPointBird
     into the current camera frame, descriptor-match in a bird-image window, then
     gate on the 3D camera-frame residual.
@@ -571,14 +597,55 @@ def match_bird_points(m: ms.MapState, f: Frame, cfg: SystemConfig, Tcw_pred, can
     box-vs-sphere difference) when comparing against the reference."""
     from fishbirdeyevisualslam_tpu.geometry import ipm as ipm_mod
     PB = m.bp_pos.shape[0]
-    pc = se3.transform(Tcw_pred, m.bp_pos)  # predicted camera-frame position
-    p_base = ipm_mod.cam_xyz_to_base(cfg.extrinsics, pc)
-    uv_pred = ipm_mod.base_xy_to_bird_pixel(cfg.bird, p_base)
-    vis = cand_mask & m.bp_valid & (jnp.abs(p_base[:, 2]) < cfg.bird.plane_gate)
     bp_pm1 = m.bp_desc_pm1
-    if cfg.tracking.use_fused_matcher and jax.default_backend() == "tpu":
+    fused = cfg.tracking.use_fused_matcher and jax.default_backend() == "tpu"
+    cap = cfg.tracking.bird_match_compact_cap
+
+    def _full_path(_):
+        pc = se3.transform(Tcw_pred, m.bp_pos)
+        p_base = ipm_mod.cam_xyz_to_base(cfg.extrinsics, pc)
+        uv_pred = ipm_mod.base_xy_to_bird_pixel(cfg.bird, p_base)
+        vis = cand_mask & m.bp_valid \
+            & (jnp.abs(p_base[:, 2]) < cfg.bird.plane_gate)
         from fishbirdeyevisualslam_tpu.ops import pallas_matcher
-        cap = cfg.tracking.bird_match_compact_cap
+        return pallas_matcher.fused_projection_match(
+            f.bird_desc_pm1, f.bird_uv, jnp.zeros_like(f.bird_octave),
+            f.bird_kp_valid,
+            bp_pm1, uv_pred, jnp.full((PB,), 30.0, jnp.float32),
+            jnp.zeros((PB,), jnp.float32), vis,
+            max_dist=float(cfg.matcher.th_high))
+
+    if fused and precomp is not None:
+        # shared per-frame compaction: project + gate only the selected rows
+        sel, smask, fits = precomp
+
+        def _compact_path(_):
+            from fishbirdeyevisualslam_tpu.ops import pallas_matcher
+            pc_s = se3.transform(Tcw_pred, m.bp_pos[sel])
+            pb_s = ipm_mod.cam_xyz_to_base(cfg.extrinsics, pc_s)
+            uv_s = ipm_mod.base_xy_to_bird_pixel(cfg.bird, pb_s)
+            vis_s = smask & m.bp_valid[sel] \
+                & (jnp.abs(pb_s[:, 2]) < cfg.bird.plane_gate)
+            r = pallas_matcher.fused_projection_match(
+                f.bird_desc_pm1, f.bird_uv, jnp.zeros_like(f.bird_octave),
+                f.bird_kp_valid,
+                bp_pm1[sel], uv_s,
+                jnp.full(sel.shape, 30.0, jnp.float32),
+                jnp.zeros(sel.shape, jnp.float32), vis_s,
+                max_dist=float(cfg.matcher.th_high))
+            ncap = sel.shape[0]
+            return matcher.MatchResult(
+                jnp.where(r.idx >= 0, sel[jnp.clip(r.idx, 0, ncap - 1)], -1),
+                r.dist, r.ok)
+
+        res = jax.lax.cond(fits, _compact_path, _full_path, None)
+    elif fused:
+        pc = se3.transform(Tcw_pred, m.bp_pos)
+        p_base = ipm_mod.cam_xyz_to_base(cfg.extrinsics, pc)
+        uv_pred = ipm_mod.base_xy_to_bird_pixel(cfg.bird, p_base)
+        vis = cand_mask & m.bp_valid \
+            & (jnp.abs(p_base[:, 2]) < cfg.bird.plane_gate)
+        from fishbirdeyevisualslam_tpu.ops import pallas_matcher
         r30 = jnp.full((PB,), 30.0, jnp.float32)
         z = jnp.zeros((PB,), jnp.float32)
 
@@ -601,13 +668,20 @@ def match_bird_points(m: ms.MapState, f: Frame, cfg: SystemConfig, Tcw_pred, can
         else:
             res = run_full(None)
     else:
+        pc = se3.transform(Tcw_pred, m.bp_pos)
+        p_base = ipm_mod.cam_xyz_to_base(cfg.extrinsics, pc)
+        uv_pred = ipm_mod.base_xy_to_bird_pixel(cfg.bird, p_base)
+        vis = cand_mask & m.bp_valid \
+            & (jnp.abs(p_base[:, 2]) < cfg.bird.plane_gate)
         compat = matcher.window_mask(f.bird_uv, uv_pred, 30.0)
         compat = compat & f.bird_kp_valid[:, None] & vis[None, :]
         res = matcher.match(f.bird_desc_pm1, bp_pm1, compat,
                             max_dist=float(cfg.matcher.th_high))
     # 3D gate: coordinate-wise |bird_cam - predicted_cam| < mult*filter_size
-    # (reference: 1x, ORBmatcher.cc:1886; see BirdConfig.filter_gate_mult)
-    pc_of_match = pc[jnp.clip(res.idx, 0, PB - 1)]
+    # (reference: 1x, ORBmatcher.cc:1886; see BirdConfig.filter_gate_mult).
+    # Predicted camera-frame positions only needed at the matched rows.
+    pc_of_match = se3.transform(Tcw_pred,
+                                m.bp_pos[jnp.clip(res.idx, 0, PB - 1)])
     d = jnp.abs(f.bird_cam - pc_of_match)
     ok3d = jnp.all(d < cfg.bird.filter_gate_mult * cfg.bird.filter_size, axis=-1)
     ok = res.ok & ok3d
@@ -820,7 +894,8 @@ def track_frame_core(m: ms.MapState, f: Frame, cfg: SystemConfig,
     # twice over the full PB store)
     if cfg.flags.have_bird:
         bwin = bird_local_mask(m, cfg, Tcw_pred)
-        bres_idx = match_bird_points(m, f, cfg, Tcw_pred, bwin).idx
+        bprec = bird_match_precompact(m, cfg, Tcw_pred, bwin)
+        bres_idx = match_bird_points(m, f, cfg, Tcw_pred, bwin, bprec).idx
     else:
         bres_idx = jnp.full((f.bird_uv.shape[0],), -1, jnp.int32)
     assoc = TrackObs(res.idx, bres_idx)
@@ -838,7 +913,7 @@ def track_frame_core(m: ms.MapState, f: Frame, cfg: SystemConfig,
         frustum_gates=True)
     mp_idx = jnp.where(mp1 >= 0, mp1, res2.idx)
     if cfg.flags.have_bird:
-        bres2_idx = match_bird_points(m, f, cfg, Tcw1, bwin).idx
+        bres2_idx = match_bird_points(m, f, cfg, Tcw1, bwin, bprec).idx
     else:
         bres2_idx = jnp.full((f.bird_uv.shape[0],), -1, jnp.int32)
     bp_idx = jnp.where(bp1 >= 0, bp1, bres2_idx)
@@ -867,13 +942,17 @@ def track_frame_core(m: ms.MapState, f: Frame, cfg: SystemConfig,
     if cfg.flags.have_bird and last_f is not None:
         m = cull_bird_points(m, cfg, out2.Tcw)
     # reference-KF tracked-point counts for NeedNewKeyFrame's nRefMatches
-    # (``KeyFrame::TrackedMapPoints(minObs)``, ``Tracking.cc:1478-1481``)
+    # (``KeyFrame::TrackedMapPoints(minObs)``, ``Tracking.cc:1478-1481``).
+    # Only the ref KF's own <=F points are consulted, so count observations
+    # with an (F, M) row gather instead of materializing the full (P,) store
+    # count (0.13 ms/frame of O(P*M) work for <=2048 consumed rows)
     if ref_kf is None:
         ref_kf = jnp.int32(0)
-    nobs = ms.point_obs_count(m)
     rp = m.kf_mp[ref_kf]
-    rp_ok = (rp >= 0) & m.mp_valid[jnp.clip(rp, 0, P - 1)]
-    robs = nobs[jnp.clip(rp, 0, P - 1)]
+    rpc = jnp.clip(rp, 0, P - 1)
+    rp_ok = (rp >= 0) & m.mp_valid[rpc]
+    robs = jnp.sum((m.obs_valid[rpc] & m.mp_valid[rpc, None]).astype(jnp.int32),
+                   axis=1)
     nref3 = jnp.sum((rp_ok & (robs >= 3)).astype(jnp.int32))
     nref2 = jnp.sum((rp_ok & (robs >= 2)).astype(jnp.int32))
     n_bird_cur = jnp.sum((bp_fin >= 0).astype(jnp.int32))

@@ -144,7 +144,8 @@ def run(cfg, tag):
         P = m.mp_pos.shape[0]
         mp_fin = assoc
         found_pid = jnp.clip(mp_fin, 0, P - 1)
-        vis2 = cand
+        # full-store visible-counter update (vis2 & pt_local in the core)
+        vis2 = jnp.zeros((P,), bool).at[found_pid].set(mp_fin >= 0)
         mp_visible = m.mp_visible + vis2.astype(jnp.int32)
         mp_found = m.mp_found.at[jnp.where(mp_fin >= 0, found_pid, P - 1)].add(
             (mp_fin >= 0).astype(jnp.int32))

@@ -245,6 +245,26 @@ class TestDescriptorSamplers:
         mismatch = np.mean(np.asarray(b_ref) != np.asarray(b_fold))
         assert mismatch < 0.02, mismatch
 
+    def test_binned_sampler_parity(self):
+        # the bin-grouped sampler (each keypoint contracted against only its
+        # own bin's slab) must reproduce the select-all-bins sampler, both on
+        # the compact path and through the overflow fallback
+        rng = np.random.RandomState(11)
+        n = 256
+        patches37 = jnp.asarray(rng.rand(n, 37, 37).astype(np.float32) * 255)
+        angles = jnp.asarray(rng.rand(n).astype(np.float32) * 2 * np.pi)
+        b_full = np.asarray(orb.descriptors_from_raw37(patches37, angles))
+        b_bin = np.asarray(orb.descriptors_from_raw37_binned(patches37, angles))
+        # identical bits modulo bf16 near-ties (different contraction layouts)
+        assert np.mean(b_full != b_bin) < 0.005, np.mean(b_full != b_bin)
+        # clustered angles overflow the per-bin cap -> cond falls back to the
+        # full sampler; results must still be the full sampler's exactly
+        ang_clustered = jnp.zeros((n,), jnp.float32) + 0.01
+        b_full_c = np.asarray(orb.descriptors_from_raw37(patches37, ang_clustered))
+        b_bin_c = np.asarray(
+            orb.descriptors_from_raw37_binned(patches37, ang_clustered, cap=32))
+        np.testing.assert_array_equal(b_full_c, b_bin_c)
+
     def test_bin_quantization(self):
         # angles inside one bin produce identical descriptors
         rng = np.random.RandomState(8)
